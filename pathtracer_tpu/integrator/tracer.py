@@ -1,0 +1,422 @@
+"""The path-tracing integrator: progressive Monte-Carlo with NEE + MIS.
+
+TPU-native rebuild of Tracer (rust-pathtracer/src/tracer.rs:22-220). The
+reference runs one pixel per rayon task with data-dependent `break`s; here
+the whole frame is a flat ray batch walked by a fixed-trip lax.scan over
+bounces with an `alive` mask — every lane executes every bounce, masked
+lanes contribute exact zeros. RNG is counter-based (threefry), keyed by
+(frame, bounce, lane): reproducible, and bit-identical between the TPU path
+and the float64 CPU oracle (the reference's per-thread ThreadRng,
+tracer.rs:44, is not reproducible at all).
+
+Quirk ledger replicated verbatim (flag-gated via `Quirks`):
+- `state.hit_dist` persists across bounces and gates emitter intersection
+  (scene.rs:66 reads it, nothing resets it): a bounce that misses geometry
+  compares light distances against the PREVIOUS bounce's hit distance
+  (-1.0 on the primary ray, so camera-visible lights never register as
+  emitters and render as background).
+- The MIS gate `state.depth > 0` (tracer.rs:80) is always true (depth is
+  never decremented), so a primary-ray emitter hit is weighted by
+  power_heuristic(0, light_pdf) = 0.
+- The sample-side Fresnel stale-l quirk (see ops/bsdf.py).
+- any_hit ignoring max_dist is a scene-level quirk (models/analytical.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.camera import gen_ray, pixel_coords
+from ..models.light import Lights, gather_light
+from ..models.material import Material, finalize_material
+from ..models.scene import Scene
+from ..ops.bsdf import disney_eval, disney_sample
+from ..ops.intersect import ray_sphere
+from ..ops.sampling import power_heuristic, uniform_sample_hemisphere
+from ..ops.vecmath import (
+    V2,
+    V3,
+    dot,
+    onb,
+    safe_normalize,
+    splat3,
+    to_world,
+    where3,
+    zeros3,
+)
+
+EPS = 0.005  # tracer.rs:16
+
+# Uniforms consumed per bounce: [light pick, light r1, light r2,
+# bsdf r1, bsdf r2, reflect/refract coin].
+U_PER_BOUNCE = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class Quirks:
+    """Keep/fix switches for the reference's port bugs (SURVEY.md §7).
+
+    Defaults replicate the reference verbatim; the CPU oracle honors the
+    same flags so allclose is well-defined under either setting.
+    """
+
+    # Carry state.hit_dist across bounces as the emitter-distance gate
+    # (scene.rs:66 + globals.rs:28). False: gate on this bounce's geometry
+    # distance only (the GLSL original's behavior).
+    stale_emitter_gate: bool = True
+    # MIS-weight emitter hits with the previous scatter pdf even on primary
+    # rays (tracer.rs:80's always-true depth gate). False: primary hits get
+    # weight 1 (GLSL original).
+    primary_mis: bool = True
+
+
+VERBATIM = Quirks()
+FIXED = Quirks(stale_emitter_gate=False, primary_mis=False)
+
+
+class EmitterHit(NamedTuple):
+    """Result of the emitter pass (Scene::sample_lights default method,
+    scene.rs:36-86) over the light table."""
+
+    hit: jnp.ndarray  # bool[N]
+    dist: jnp.ndarray  # [N]
+    pdf: jnp.ndarray  # [N]
+    emission: V3  # [N]
+
+
+def sample_lights_emitter(lights: Lights, ro: V3, rd: V3, gate_dist) -> EmitterHit:
+    """Ray-vs-light-sphere emitter intersection (scene.rs:36-86).
+
+    Sequential `d < dist` semantics over the light list are reproduced by a
+    static unroll (L is small). Only Spherical lights participate
+    (scene.rs:69).
+    """
+    n = jnp.shape(rd.x)
+    dtype = jnp.asarray(rd.x).dtype
+    dist = jnp.broadcast_to(jnp.asarray(gate_dist, dtype), n)
+    hit = jnp.zeros(n, bool)
+    pdf = jnp.zeros(n, dtype)
+    emission = zeros3(n, dtype)
+
+    for i in range(lights.count):
+        pos = V3(lights.position.x[i], lights.position.y[i], lights.position.z[i])
+        is_spherical = lights.light_type[i] == 1  # LightType.SPHERICAL
+        d = ray_sphere(ro, rd, pos, lights.radius[i])
+        take = jnp.isfinite(d) & (d < dist) & is_spherical
+        hit_point = ro + rd * jnp.where(take, d, 0.0)
+        cos_theta = dot(-rd, safe_normalize(hit_point - pos))
+        denom = lights.area[i] * cos_theta * 0.5
+        pdf_i = (d * d) / jnp.where(denom != 0.0, denom, 1.0)
+        dist = jnp.where(take, d, dist)
+        pdf = jnp.where(take, pdf_i, pdf)
+        em_i = V3(lights.emission.x[i], lights.emission.y[i], lights.emission.z[i])
+        emission = where3(take, emission * 0.0 + em_i, emission)
+        hit = hit | take
+
+    return EmitterHit(hit=hit, dist=dist, pdf=pdf, emission=emission)
+
+
+class LightSample(NamedTuple):
+    """LightSampleRec (globals.rs:109-130)."""
+
+    normal: V3
+    emission: V3
+    direction: V3
+    dist: jnp.ndarray
+    pdf: jnp.ndarray
+
+
+def sample_light_spherical(
+    lights: Lights, idx: jnp.ndarray, scatter_pos: V3, r1, r2
+) -> LightSample:
+    """Spherical light surface sampling (tracer.rs:173-220).
+
+    Verbatim: uniform hemisphere about the center->shading-point axis,
+    emission pre-multiplied by the light count (tracer.rs:214), pdf
+    d^2/(area * 0.5 * |n.l|) (tracer.rs:215).
+    """
+    lt = gather_light(lights, idx)
+
+    center_to_surf = scatter_pos - lt.position
+    dist_to_center = center_to_surf.length()
+    axis = center_to_surf / splat3(jnp.where(dist_to_center > 0.0, dist_to_center, 1.0))
+
+    sampled = uniform_sample_hemisphere(r1, r2)
+    t, b = onb(axis)
+    sampled_dir = to_world(t, b, axis, sampled)
+
+    light_surface = lt.position + sampled_dir * splat3(lt.radius)
+    direction = light_surface - scatter_pos
+    dist = direction.length()
+    dist_sq = dist * dist
+    direction = direction / splat3(jnp.where(dist > 0.0, dist, 1.0))
+    normal = safe_normalize(light_surface - lt.position)
+
+    n_lights = lights.count
+    emission = lt.emission * float(n_lights)
+    denom = lt.area * 0.5 * jnp.abs(dot(normal, direction))
+    pdf = dist_sq / jnp.where(denom != 0.0, denom, 1.0)
+    return LightSample(
+        normal=normal, emission=emission, direction=direction, dist=dist, pdf=pdf
+    )
+
+
+def direct_light(
+    scene: Scene, rd: V3, fhp: V3, ffnormal: V3, material: Material, eta, u
+) -> V3:
+    """Next-event estimation (tracer.rs:126-170): pick one light uniformly,
+    sample its surface, shadow-test, MIS-weight against the BSDF pdf."""
+    u_pick, r1, r2 = u[..., 0], u[..., 1], u[..., 2]
+    n_lights = scene.num_lights
+    if n_lights == 0:
+        return zeros3(jnp.shape(rd.x), jnp.asarray(rd.x).dtype)
+
+    scatter_pos = fhp + ffnormal * EPS  # tracer.rs:131
+
+    idx = jnp.clip((u_pick * n_lights).astype(jnp.int32), 0, n_lights - 1)
+    ls = sample_light_spherical(scene.lights, idx, scatter_pos, r1, r2)
+
+    # Single-sided gate (tracer.rs:148).
+    facing = dot(ls.direction, ls.normal) < 0.0
+
+    in_shadow = scene.any_hit(scatter_pos, ls.direction, ls.dist - EPS)
+
+    f, bsdf_pdf = disney_eval(material, eta, -rd, ffnormal, ls.direction)
+
+    area = gather_light(scene.lights, idx).area
+    mis = jnp.where(
+        area > 0.0, power_heuristic(ls.pdf, bsdf_pdf), 1.0
+    )  # tracer.rs:157-160
+
+    ok = facing & (~in_shadow) & (bsdf_pdf > 0.0) & (ls.pdf > 0.0)
+    scale = jnp.where(ok, mis / jnp.where(ls.pdf != 0.0, ls.pdf, 1.0), 0.0)
+    return ls.emission * f * scale
+
+
+class PathState(NamedTuple):
+    """Per-lane bounce-loop carry: Ray + State + ScatterSampleRec
+    (ray.rs:6-48, globals.rs:6-104) flattened into scan carry."""
+
+    ro: V3
+    rd: V3
+    radiance: V3
+    throughput: V3
+    alive: jnp.ndarray  # bool
+    prev_pdf: jnp.ndarray  # scatter_sample.pdf of previous bounce
+    prev_l: V3  # scatter_sample.l of previous bounce (stale-l quirk)
+    prev_hit_dist: jnp.ndarray  # state.hit_dist carry (stale gate quirk)
+
+
+def _mask3(mask, v: V3) -> V3:
+    zero = jnp.zeros_like(v.x)
+    return V3(
+        jnp.where(mask, v.x, zero),
+        jnp.where(mask, v.y, zero),
+        jnp.where(mask, v.z, zero),
+    )
+
+
+def make_bounce_step(scene: Scene, quirks: Quirks = VERBATIM):
+    """One bounce of the per-pixel loop (tracer.rs:61-103), batched."""
+
+    def bounce(state: PathState, u_bounce) -> tuple[PathState, None]:
+        ro, rd = state.ro, state.rd
+        radiance, throughput = state.radiance, state.throughput
+        alive = state.alive
+
+        geo = scene.closest_hit(ro, rd)
+        geo_hit = jnp.isfinite(geo.t)
+
+        # state.hit_dist after the geometry pass; the emitter gate
+        # (scene.rs:66) reads it — stale carry on geometry miss (quirk).
+        if quirks.stale_emitter_gate:
+            gate_dist = jnp.where(geo_hit, geo.t, state.prev_hit_dist)
+        else:
+            gate_dist = jnp.where(geo_hit, geo.t, jnp.inf)
+        em = sample_lights_emitter(scene.lights, ro, rd, gate_dist)
+
+        hit = geo_hit | em.hit
+        hit_dist = jnp.where(em.hit, em.dist, gate_dist)
+
+        # Miss -> background * throughput, path dies (tracer.rs:66-69).
+        bg = scene.background(rd)
+        radiance = radiance + _mask3(alive & ~hit, bg * throughput)
+
+        # State::finalize (globals.rs:50-62) + Material::finalize.
+        material = finalize_material(geo.material)
+        fhp = ro + rd * jnp.where(hit, hit_dist, 0.0)
+        entering = dot(geo.normal, rd) <= 0.0
+        ffnormal = where3(entering, geo.normal, -geo.normal)
+        eta = jnp.where(
+            dot(rd, geo.normal) < 0.0, 1.0 / material.ior, material.ior
+        )
+
+        # Surface emission (tracer.rs:74).
+        radiance = radiance + _mask3(alive & hit, material.emission * throughput)
+
+        # Emitter hit: MIS with the previous bounce's scatter pdf
+        # (tracer.rs:77-87). With quirks.primary_mis the weight is
+        # power_heuristic(prev_pdf, light_pdf) ALWAYS (prev_pdf = 0 on the
+        # primary ray -> weight 0); the fixed variant gives primaries
+        # weight 1 by seeding prev_pdf appropriately in trace().
+        mis_w = power_heuristic(jnp.maximum(state.prev_pdf, 0.0), em.pdf)
+        if not quirks.primary_mis:
+            mis_w = jnp.where(state.prev_pdf < 0.0, 1.0, mis_w)
+        radiance = radiance + _mask3(
+            alive & em.hit, em.emission * (mis_w * 1.0) * throughput
+        )
+
+        live = alive & hit & ~em.hit
+
+        # NEE (tracer.rs:89).
+        ld = direct_light(scene, rd, fhp, ffnormal, material, eta, u_bounce[..., 0:3])
+        radiance = radiance + _mask3(live, ld * throughput)
+
+        # BSDF sampling (tracer.rs:92-101).
+        bs = disney_sample(
+            material, eta, -rd, ffnormal, state.prev_l, u_bounce[..., 3:6]
+        )
+        cont = live & (bs.pdf > 0.0)
+        safe_pdf = jnp.where(bs.pdf > 0.0, bs.pdf, 1.0)
+        throughput = where3(cont, throughput * bs.f / splat3(safe_pdf), throughput)
+
+        ro_next = where3(cont, fhp + bs.l * EPS, ro)
+        rd_next = where3(cont, bs.l, rd)
+
+        # scatter_sample.{l, pdf} update verbatim: written whenever
+        # disney_sample ran, i.e. on `live` lanes (tracer.rs:92).
+        prev_pdf = jnp.where(live, bs.pdf, state.prev_pdf)
+        prev_l = where3(live, bs.l, state.prev_l)
+        # state.hit_dist persists; closest_hit only ran on alive lanes.
+        prev_hit_dist = jnp.where(alive & hit, hit_dist, state.prev_hit_dist)
+
+        return (
+            PathState(
+                ro=ro_next,
+                rd=rd_next,
+                radiance=radiance,
+                throughput=throughput,
+                alive=cont,
+                prev_pdf=prev_pdf,
+                prev_l=prev_l,
+                prev_hit_dist=prev_hit_dist,
+            ),
+            None,
+        )
+
+    return bounce
+
+
+def trace(
+    scene: Scene,
+    ro: V3,
+    rd: V3,
+    uniforms: jnp.ndarray,  # [depth, N, U_PER_BOUNCE]
+    quirks: Quirks = VERBATIM,
+    unroll: int | bool = 1,
+) -> V3:
+    """Trace a batch of primary rays to radiance (the bounce loop of
+    tracer.rs:51-103)."""
+    n = jnp.shape(rd.x)
+    dtype = jnp.asarray(rd.x).dtype
+
+    if quirks.primary_mis:
+        prev_pdf0 = jnp.zeros(n, dtype)
+    else:
+        # -1 sentinel: "no previous bounce" -> emitter weight 1.
+        prev_pdf0 = jnp.full(n, -1.0, dtype)
+
+    init = PathState(
+        ro=ro,
+        rd=rd,
+        radiance=zeros3(n, dtype),
+        throughput=splat3(jnp.ones(n, dtype)),
+        alive=jnp.ones(n, bool),
+        prev_pdf=prev_pdf0,
+        prev_l=zeros3(n, dtype),  # ScatterSampleRec::new (globals.rs:97-103)
+        prev_hit_dist=jnp.full(n, -1.0, dtype),  # State::new (globals.rs:28)
+    )
+    bounce = make_bounce_step(scene, quirks)
+    final, _ = jax.lax.scan(bounce, init, uniforms, unroll=unroll)
+    return final.radiance
+
+
+def draw_uniforms(key, n: int, depth: int, dtype=jnp.float32):
+    """Counter-based per-frame randomness: (cam_jitter [N,2],
+    bounce uniforms [depth, N, 6]).
+
+    Replaces ThreadRng (tracer.rs:44-45,137,191-192,446-447,534) with
+    threefry — deterministic, backend-independent, so the CPU oracle
+    consumes bit-identical uniforms.
+    """
+    kc, kb = jax.random.split(key)
+    cam = jax.random.uniform(kc, (n, 2), dtype)
+    bounce = jax.random.uniform(kb, (depth, n, U_PER_BOUNCE), dtype)
+    return cam, bounce
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "quirks", "unroll"),
+)
+def render_frame(
+    scene: Scene,
+    key,
+    width: int,
+    height: int,
+    spp: int = 1,
+    quirks: Quirks = VERBATIM,
+    unroll: int | bool = 1,
+) -> jnp.ndarray:
+    """Render one progressive frame -> [H, W, 4] linear RGBA (alpha = 1).
+
+    The per-pixel work of Tracer::render (tracer.rs:33-118) for all pixels
+    (and spp samples) at once; accumulation into the ColorBuffer is the
+    caller's `accumulate` (progressive running mean, tracer.rs:105-121).
+    """
+    dtype = scene.lights.radius.dtype
+    n = width * height
+    coords = pixel_coords(width, height, dtype)
+    depth = scene.recursion_depth
+
+    def one_sample(k):
+        cam_u, bounce_u = draw_uniforms(k, n, depth, dtype)
+        offset = V2(cam_u[:, 0], cam_u[:, 1])
+        ro, rd = gen_ray(scene.camera, coords, offset, float(width), float(height))
+        return trace(scene, ro, rd, bounce_u, quirks, unroll)
+
+    if spp == 1:
+        radiance = one_sample(key)
+    else:
+        keys = jax.random.split(key, spp)
+        acc = jax.lax.map(one_sample, keys)  # [spp] V3 of [N]
+        radiance = V3(
+            jnp.mean(acc.x, axis=0), jnp.mean(acc.y, axis=0), jnp.mean(acc.z, axis=0)
+        )
+
+    img = jnp.stack(
+        [
+            radiance.x.reshape(height, width),
+            radiance.y.reshape(height, width),
+            radiance.z.reshape(height, width),
+            jnp.ones((height, width), dtype),  # alpha = 1 (tracer.rs:59)
+        ],
+        axis=-1,
+    )
+    return img
+
+
+def accumulate(pixels: jnp.ndarray, frame: jnp.ndarray, frames: jnp.ndarray):
+    """Progressive running mean, weight 1/(frames+1) (tracer.rs:105-121).
+
+    Returns (new_pixels, frames+1). Resumable by construction: the whole
+    render state is (pixels, frames) — the checkpoint/resume story the
+    reference never built (SURVEY.md §5).
+    """
+    w = 1.0 / (frames + 1.0)
+    return pixels * (1.0 - w) + frame * w, frames + 1

@@ -1,0 +1,73 @@
+"""Analytical lights as stacked differentiable arrays.
+
+Replaces the reference's Light/LightType/AnalyticalLight
+(rust-pathtracer/src/globals.rs:69-84, rust-pathtracer/src/light.rs:6-28).
+A `Lights` pytree holds ALL scene lights as [L]-shaped arrays so the
+integrator's uniform light pick (tracer.rs:136-141) is a gather, and light
+parameters (position, radius, emission) are differentiable leaves for
+inverse rendering.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.vecmath import PI, V3, v3, zeros3
+
+
+class LightType:
+    """globals.rs:69-73. Only SPHERICAL is implemented by the reference
+    integrator (Readme.md:16); parity preserved."""
+
+    RECTANGULAR = 0
+    SPHERICAL = 1
+    DISTANT = 2
+
+
+class Lights(NamedTuple):
+    """Stacked light records ([L]-shaped fields), globals.rs:75-84."""
+
+    light_type: jnp.ndarray  # int32 [L]
+    position: V3  # [L]
+    emission: V3  # [L]
+    u: V3  # [L] (rect lights; unused, parity)
+    v: V3  # [L]
+    radius: jnp.ndarray  # [L]
+    area: jnp.ndarray  # [L]
+
+    @property
+    def count(self) -> int:
+        return int(self.radius.shape[0])
+
+
+def spherical_light(position, radius, emission, dtype=jnp.float32) -> Lights:
+    """AnalyticalLight::spherical (light.rs:13-28): area = 4*pi*r^2."""
+    pos = v3(*position, dtype=dtype) if not isinstance(position, V3) else position
+    emi = v3(*emission, dtype=dtype) if not isinstance(emission, V3) else emission
+    r = jnp.asarray(radius, dtype)
+    one = lambda a: jnp.asarray(a)[None] if jnp.ndim(a) == 0 else jnp.asarray(a)
+    lift = lambda w: V3(one(w.x), one(w.y), one(w.z))
+    return Lights(
+        light_type=jnp.asarray([LightType.SPHERICAL], jnp.int32),
+        position=lift(pos),
+        emission=lift(emi),
+        u=zeros3((1,), dtype),
+        v=zeros3((1,), dtype),
+        radius=one(r),
+        area=one(4.0 * PI * r * r),
+    )
+
+
+def concat_lights(*groups: Lights) -> Lights:
+    """Combine light groups into one stacked table."""
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis=0), *groups
+    )
+
+
+def gather_light(lights: Lights, idx: jnp.ndarray) -> Lights:
+    """Per-ray light selection (tracer.rs:141 `scene.light_at(index)`)."""
+    return jax.tree_util.tree_map(lambda leaf: leaf[idx], lights)

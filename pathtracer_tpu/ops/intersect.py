@@ -1,0 +1,48 @@
+"""Vectorized ray-primitive intersection tests.
+
+Replaces the reference's scalar Option<F>-returning tests
+(renderer/src/analytical.rs:163-213 and the copy inside Scene::sample_lights,
+rust-pathtracer/src/scene.rs:38-63). Misses are encoded as +inf distances so
+`closest wins` reduces to jnp.minimum over a batch — the TPU-native
+replacement for the reference's if-let chains.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .vecmath import V3, dot
+
+MISS = jnp.inf
+
+
+def ray_sphere(ro: V3, rd: V3, center: V3, radius) -> jnp.ndarray:
+    """Scratchapixel sphere test, verbatim math (analytical.rs:166-190).
+
+    Returns hit distance t (>= 0) or +inf on miss. Matches the reference's
+    branch structure: reject d2 > r^2, take t0 = tca - thc unless negative,
+    else t1 = tca + thc, reject if still negative.
+    """
+    l = center - ro
+    tca = dot(l, rd)
+    d2 = dot(l, l) - tca * tca
+    radius2 = radius * radius
+    thc = jnp.sqrt(jnp.maximum(radius2 - d2, 0.0))
+    t0 = tca - thc
+    t1 = tca + thc
+    t = jnp.where(t0 < 0.0, t1, t0)
+    miss = (d2 > radius2) | (t < 0.0)
+    return jnp.where(miss, MISS, t)
+
+
+def ray_plane(ro: V3, rd: V3, normal: V3, point: V3, eps: float = 0.0001) -> jnp.ndarray:
+    """Ray-plane test, verbatim math (analytical.rs:193-204).
+
+    Returns t >= 0 or +inf. The reference hardcodes normal (0,1,0) and point
+    (0,-1,0); generalized here with identical eps and sign conventions.
+    """
+    denom = dot(normal, rd)
+    safe_denom = jnp.where(jnp.abs(denom) > eps, denom, 1.0)
+    t = dot(point - ro, normal) / safe_denom
+    miss = (jnp.abs(denom) <= eps) | (t < 0.0)
+    return jnp.where(miss, MISS, t)

@@ -1,0 +1,27 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding tests run without a pod by forcing the host platform to
+expose 8 CPU devices (SURVEY.md §4 item 5).
+
+Note: this environment pre-imports jax with JAX_PLATFORMS=axon (a tunneled
+TPU) at interpreter startup, so env vars are too late — use jax.config
+updates, which take effect as long as no backend has been initialized yet.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    # Read at CPU-backend creation, which hasn't happened yet.
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Dtype-exact oracle comparisons need f64 on the JAX side (the production
+# path is f32; tests validate the vectorized math against the scalar oracle
+# at matching precision).
+jax.config.update("jax_enable_x64", True)
