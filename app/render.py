@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""CLI progressive renderer: the L4 application layer.
+
+Replaces the reference's windowed viewer (renderer/src/main.rs:34-194):
+where that opens a tao window and re-renders on every redraw, this runs the
+same progressive loop headless — render a frame, fold it into the
+ColorBuffer at weight 1/(frames+1), repeat — writing PNG output (the
+reference's unimplemented TODO, Readme.md:74), with checkpoint/resume and
+per-frame metrics.
+
+Usage:
+  python app/render.py --width 800 --height 600 --frames 32 -o out.png
+  python app/render.py --scene sdf --depth 8 --frames 64 --ckpt-dir runs/a
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+import pathtracer_tpu as pt
+from pathtracer_tpu.utils.buffer import new_buffer, ColorBuffer
+from pathtracer_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from pathtracer_tpu.utils.config import RenderConfig
+from pathtracer_tpu.utils.image import save_render
+from pathtracer_tpu.utils.metrics import FrameMetrics, MetricsLog, Timer, trace_to
+
+
+def build_scene(cfg: RenderConfig) -> pt.Scene:
+    if cfg.scene == "analytical":
+        return pt.make_analytical_scene(dtype=cfg.dtype, recursion_depth=cfg.depth)
+    if cfg.scene == "sdf":
+        from pathtracer_tpu.models.sdf import make_scene as make_sdf_scene
+
+        return make_sdf_scene(dtype=cfg.dtype, recursion_depth=cfg.depth)
+    raise SystemExit(f"unknown scene {cfg.scene!r} (choose analytical|sdf)")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--spp", type=int, default=1)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scene", default="analytical")
+    ap.add_argument("--quirks", choices=["verbatim", "fixed"], default="verbatim")
+    ap.add_argument("--precision", choices=["f32", "f64"], default="f32")
+    ap.add_argument("-o", "--output", default="render.png")
+    ap.add_argument("--ckpt-dir", default=None, help="checkpoint/resume directory")
+    ap.add_argument("--ckpt-every", type=int, default=8)
+    ap.add_argument("--metrics", default=None, help="write per-frame metrics jsonl")
+    ap.add_argument("--profile", default=None, help="jax.profiler trace directory")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        spp=args.spp,
+        frames=args.frames,
+        depth=args.depth,
+        seed=args.seed,
+        precision=args.precision,
+        scene=args.scene,
+        quirks=args.quirks,
+    )
+    scene = build_scene(cfg)
+    quirks = cfg.quirk_flags
+
+    buf = new_buffer(cfg.width, cfg.height, cfg.dtype)
+    key = jax.random.PRNGKey(cfg.seed)
+    start_frame = 0
+
+    if args.ckpt_dir:
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        path = latest_checkpoint(args.ckpt_dir)
+        if path:
+            state = load_checkpoint(path, (buf, key, 0))
+            buf, key, start_frame = state[0], state[1], int(state[2])
+            print(f"resumed from {path} at frame {start_frame}")
+
+    log = MetricsLog()
+    with trace_to(args.profile):
+        for f in range(start_frame, cfg.frames):
+            key, sub = jax.random.split(key)
+            t = Timer()
+            frame = pt.render_frame(
+                scene, sub, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks
+            )
+            pixels, frames = pt.accumulate(buf.pixels, frame, buf.frames)
+            pixels = jax.block_until_ready(pixels)
+            buf = ColorBuffer(pixels=pixels, frames=frames)
+            ms = t.stop()
+            log.record(FrameMetrics(cfg.width, cfg.height, cfg.spp, cfg.depth, ms))
+            print(f"frame {f + 1}/{cfg.frames}  {ms:8.1f} ms")
+
+            if args.ckpt_dir and (f + 1) % args.ckpt_every == 0:
+                save_checkpoint(
+                    os.path.join(args.ckpt_dir, f"ckpt_{f + 1:06d}.npz"),
+                    (buf, key, f + 1),
+                )
+
+    save_render(args.output, buf.pixels)
+    print(f"wrote {args.output}")
+    s = log.summary()
+    if s:
+        print(
+            f"avg {s['avg_frame_ms']:.1f} ms/frame, "
+            f"{s['rays_per_s'] / 1e6:.2f} Mrays/s (primary)"
+        )
+    if args.metrics:
+        log.dump_jsonl(args.metrics)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
