@@ -1,0 +1,187 @@
+"""Inverse rendering: pixel-loss gradients to scene parameters.
+
+The capability the reference cannot have (its materials are code,
+analytical.rs:56-85): here every scene quantity — material table, light
+emission/position, sphere geometry, checker albedos, sky, camera — is a
+pytree leaf, and the integrator is differentiable end-to-end via the
+detached-sampling estimator (ops/bsdf.disney_sample) with per-bounce
+rematerialization. BASELINE config 4 ("recover material albedo/roughness +
+light intensity from a target image") is `recover_demo` below.
+
+Parameter selection is by key-path substring: `select=("materials.rgb",
+"lights.emission")` optimizes exactly those leaves, leaving the rest
+frozen (and never differentiating integer leaves).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+from .tracer import VERBATIM, Quirks, render_frame
+
+
+def keypath_str(path) -> str:
+    """'materials.rgb.x'-style dotted name for a tree_util key path."""
+    parts = []
+    for k in path:
+        if hasattr(k, "name"):
+            parts.append(str(k.name))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        elif hasattr(k, "key"):
+            parts.append(str(k.key))
+        else:
+            parts.append(str(k))
+    return ".".join(parts)
+
+
+def select_leaves(tree, select: Iterable[str]):
+    """Split `tree` into (trainable leaf list, rebuild fn) where a leaf is
+    trainable iff any pattern in `select` is a substring of its dotted
+    key path and the leaf is inexact (float)."""
+    patterns = tuple(select)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    idxs, train = [], []
+    for i, (path, leaf) in enumerate(flat):
+        name = keypath_str(path)
+        if any(p in name for p in patterns) and jnp.issubdtype(
+            jnp.asarray(leaf).dtype, jnp.inexact
+        ):
+            idxs.append(i)
+            train.append(leaf)
+    if not idxs:
+        raise ValueError(f"no trainable leaves matched {patterns}")
+    leaves = [leaf for _, leaf in flat]
+
+    def rebuild(train_vals):
+        out = list(leaves)
+        for j, i in enumerate(idxs):
+            out[i] = train_vals[j]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    names = [keypath_str(flat[i][0]) for i in idxs]
+    return train, rebuild, names
+
+
+def image_loss(img, target):
+    """Mean squared error on RGB (alpha is constant 1)."""
+    return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "quirks"),
+)
+def render_loss(
+    scene: Scene,
+    target,
+    key,
+    width: int,
+    height: int,
+    spp: int = 4,
+    quirks: Quirks = VERBATIM,
+):
+    """Differentiable render + MSE against a target image."""
+    img = render_frame(
+        scene, key, width, height, spp=spp, quirks=quirks, detach=True, remat=True
+    )
+    return image_loss(img, target)
+
+
+class OptResult(NamedTuple):
+    scene: Scene
+    losses: jnp.ndarray  # [steps]
+
+
+def inverse_render(
+    scene: Scene,
+    target,
+    key,
+    select: Iterable[str],
+    width: int,
+    height: int,
+    steps: int = 100,
+    lr: float = 2e-2,
+    spp: int = 4,
+    quirks: Quirks = VERBATIM,
+    optimizer=None,
+    param_transform: Callable | None = None,
+    crn: bool = True,
+    verbose: bool = False,
+) -> OptResult:
+    """Adam-optimize the selected scene leaves against a target image.
+
+    crn=True (common random numbers) reuses one fixed key every step: the
+    surrogate loss becomes deterministic in the parameters, which removes
+    the Monte-Carlo noise floor from the descent at the cost of a small
+    surrogate bias (the classic variance-reduction trade for stochastic
+    inverse rendering). crn=False draws a fresh key per step (unbiased
+    stochastic gradient). param_transform, if given, maps the rebuilt
+    scene before rendering (e.g. clamping to valid ranges).
+    """
+    import optax
+
+    train, rebuild, names = select_leaves(scene, select)
+    if verbose:
+        print("optimizing:", names)
+    opt = optimizer if optimizer is not None else optax.adam(lr)
+    opt_state = opt.init(train)
+
+    @partial(jax.jit, static_argnames=())
+    def step(train, opt_state, k):
+        def loss_fn(tv):
+            s = rebuild(tv)
+            if param_transform is not None:
+                s = param_transform(s)
+            img = render_frame(
+                s, k, width, height, spp=spp, quirks=quirks,
+                detach=True, remat=True,
+            )
+            return image_loss(img, target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(train)
+        updates, opt_state = opt.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        return train, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        if crn:
+            sub = key
+        else:
+            key, sub = jax.random.split(key)
+        train, opt_state, loss = step(train, opt_state, sub)
+        losses.append(loss)
+        if verbose and (i % 10 == 0 or i == steps - 1):
+            print(f"step {i:4d}  loss {float(loss):.6e}")
+
+    final = rebuild(train)
+    if param_transform is not None:
+        final = param_transform(final)
+    return OptResult(scene=final, losses=jnp.stack(losses))
+
+
+def clamp_material_params(scene: Scene) -> Scene:
+    """Projection keeping optimized materials/lights physically plausible."""
+    p = scene.params
+    if hasattr(p, "materials"):
+        m = p.materials
+        m = m._replace(
+            rgb=m.rgb.clip(0.0, 1.0),
+            roughness=jnp.clip(m.roughness, 0.001, 1.0),
+            metallic=jnp.clip(m.metallic, 0.0, 1.0),
+            clearcoat=jnp.clip(m.clearcoat, 0.0, 1.0),
+            spec_trans=jnp.clip(m.spec_trans, 0.0, 1.0),
+        )
+        p = p._replace(materials=m)
+        scene = scene.replace(params=p)
+    lights = scene.lights
+    lights = lights._replace(
+        emission=lights.emission.max_f(0.0), radius=jnp.maximum(lights.radius, 1e-3)
+    )
+    return scene.replace(lights=lights)

@@ -108,11 +108,15 @@ def sample_lights_emitter(lights: Lights, ro: V3, rd: V3, gate_dist) -> EmitterH
         is_spherical = lights.light_type[i] == 1  # LightType.SPHERICAL
         d = ray_sphere(ro, rd, pos, lights.radius[i])
         take = jnp.isfinite(d) & (d < dist) & is_spherical
-        hit_point = ro + rd * jnp.where(take, d, 0.0)
+        # d is +inf on miss; square only a guarded copy — the backward of
+        # d*d is cot * 2d, and 0-cotangent * inf = NaN would leak into
+        # sphere/light geometry gradients through ray_sphere's VJP.
+        d_safe = jnp.where(take, d, 1.0)
+        hit_point = ro + rd * jnp.where(take, d_safe, 0.0)
         cos_theta = dot(-rd, safe_normalize(hit_point - pos))
         denom = lights.area[i] * cos_theta * 0.5
-        pdf_i = (d * d) / jnp.where(denom != 0.0, denom, 1.0)
-        dist = jnp.where(take, d, dist)
+        pdf_i = (d_safe * d_safe) / jnp.where(denom != 0.0, denom, 1.0)
+        dist = jnp.where(take, d_safe, dist)
         pdf = jnp.where(take, pdf_i, pdf)
         em_i = V3(lights.emission.x[i], lights.emission.y[i], lights.emission.z[i])
         emission = where3(take, emission * 0.0 + em_i, emission)
@@ -132,14 +136,20 @@ class LightSample(NamedTuple):
 
 
 def sample_light_spherical(
-    lights: Lights, idx: jnp.ndarray, scatter_pos: V3, r1, r2
+    lights: Lights, idx: jnp.ndarray, scatter_pos: V3, r1, r2,
+    detach: bool = False,
 ) -> LightSample:
     """Spherical light surface sampling (tracer.rs:173-220).
 
     Verbatim: uniform hemisphere about the center->shading-point axis,
     emission pre-multiplied by the light count (tracer.rs:214), pdf
     d^2/(area * 0.5 * |n.l|) (tracer.rs:215).
+
+    detach=True stop-gradients the sampled geometry (direction, distance,
+    normal, pdf) for the detached estimator; emission keeps its gradient so
+    light-intensity recovery works (BASELINE config 4).
     """
+    sg = jax.lax.stop_gradient if detach else (lambda x: x)
     lt = gather_light(lights, idx)
 
     center_to_surf = scatter_pos - lt.position
@@ -162,12 +172,17 @@ def sample_light_spherical(
     denom = lt.area * 0.5 * jnp.abs(dot(normal, direction))
     pdf = dist_sq / jnp.where(denom != 0.0, denom, 1.0)
     return LightSample(
-        normal=normal, emission=emission, direction=direction, dist=dist, pdf=pdf
+        normal=sg(normal),
+        emission=emission,
+        direction=sg(direction),
+        dist=sg(dist),
+        pdf=sg(pdf),
     )
 
 
 def direct_light(
-    scene: Scene, rd: V3, fhp: V3, ffnormal: V3, material: Material, eta, u
+    scene: Scene, rd: V3, fhp: V3, ffnormal: V3, material: Material, eta, u,
+    detach: bool = False,
 ) -> V3:
     """Next-event estimation (tracer.rs:126-170): pick one light uniformly,
     sample its surface, shadow-test, MIS-weight against the BSDF pdf."""
@@ -179,7 +194,7 @@ def direct_light(
     scatter_pos = fhp + ffnormal * EPS  # tracer.rs:131
 
     idx = jnp.clip((u_pick * n_lights).astype(jnp.int32), 0, n_lights - 1)
-    ls = sample_light_spherical(scene.lights, idx, scatter_pos, r1, r2)
+    ls = sample_light_spherical(scene.lights, idx, scatter_pos, r1, r2, detach)
 
     # Single-sided gate (tracer.rs:148).
     facing = dot(ls.direction, ls.normal) < 0.0
@@ -188,6 +203,10 @@ def direct_light(
 
     f, bsdf_pdf = disney_eval(material, eta, -rd, ffnormal, ls.direction)
 
+    # MIS weight stays differentiable even under detach: it is a continuous
+    # function of params at the (detached) light direction, its gradient is
+    # pointwise-correct, and the weight-derivative terms cancel against the
+    # BSDF-sampling estimator in expectation (w_light + w_bsdf = 1).
     area = gather_light(scene.lights, idx).area
     mis = jnp.where(
         area > 0.0, power_heuristic(ls.pdf, bsdf_pdf), 1.0
@@ -221,8 +240,16 @@ def _mask3(mask, v: V3) -> V3:
     )
 
 
-def make_bounce_step(scene: Scene, quirks: Quirks = VERBATIM):
-    """One bounce of the per-pixel loop (tracer.rs:61-103), batched."""
+def make_bounce_step(
+    scene: Scene, quirks: Quirks = VERBATIM, detach: bool = False
+):
+    """One bounce of the per-pixel loop (tracer.rs:61-103), batched.
+
+    detach=True applies the detached-sampling gradient policy (see
+    ops/bsdf.disney_sample): discrete lobe/light choices and sampled
+    directions are treated as constants under differentiation; BSDF values,
+    emissions, background, and geometry terms keep parameter gradients.
+    """
 
     def bounce(state: PathState, u_bounce) -> tuple[PathState, None]:
         ro, rd = state.ro, state.rd
@@ -264,6 +291,8 @@ def make_bounce_step(scene: Scene, quirks: Quirks = VERBATIM):
         # power_heuristic(prev_pdf, light_pdf) ALWAYS (prev_pdf = 0 on the
         # primary ray -> weight 0); the fixed variant gives primaries
         # weight 1 by seeding prev_pdf appropriately in trace().
+        # Differentiable even under detach (see direct_light); prev_pdf is
+        # already stop-gradiented by disney_sample when detach=True.
         mis_w = power_heuristic(jnp.maximum(state.prev_pdf, 0.0), em.pdf)
         if not quirks.primary_mis:
             mis_w = jnp.where(state.prev_pdf < 0.0, 1.0, mis_w)
@@ -274,12 +303,14 @@ def make_bounce_step(scene: Scene, quirks: Quirks = VERBATIM):
         live = alive & hit & ~em.hit
 
         # NEE (tracer.rs:89).
-        ld = direct_light(scene, rd, fhp, ffnormal, material, eta, u_bounce[..., 0:3])
+        ld = direct_light(
+            scene, rd, fhp, ffnormal, material, eta, u_bounce[..., 0:3], detach
+        )
         radiance = radiance + _mask3(live, ld * throughput)
 
         # BSDF sampling (tracer.rs:92-101).
         bs = disney_sample(
-            material, eta, -rd, ffnormal, state.prev_l, u_bounce[..., 3:6]
+            material, eta, -rd, ffnormal, state.prev_l, u_bounce[..., 3:6], detach
         )
         cont = live & (bs.pdf > 0.0)
         safe_pdf = jnp.where(bs.pdf > 0.0, bs.pdf, 1.0)
@@ -319,9 +350,16 @@ def trace(
     uniforms: jnp.ndarray,  # [depth, N, U_PER_BOUNCE]
     quirks: Quirks = VERBATIM,
     unroll: int | bool = 1,
+    detach: bool = False,
+    remat: bool = False,
 ) -> V3:
     """Trace a batch of primary rays to radiance (the bounce loop of
-    tracer.rs:51-103)."""
+    tracer.rs:51-103).
+
+    remat=True checkpoints each bounce under reverse-mode AD: the backward
+    pass recomputes bounce intermediates instead of materializing
+    depth x N live values in HBM — the FLOPs-for-memory trade that makes
+    high-resolution inverse rendering fit on chip."""
     n = jnp.shape(rd.x)
     dtype = jnp.asarray(rd.x).dtype
 
@@ -341,7 +379,9 @@ def trace(
         prev_l=zeros3(n, dtype),  # ScatterSampleRec::new (globals.rs:97-103)
         prev_hit_dist=jnp.full(n, -1.0, dtype),  # State::new (globals.rs:28)
     )
-    bounce = make_bounce_step(scene, quirks)
+    bounce = make_bounce_step(scene, quirks, detach)
+    if remat:
+        bounce = jax.checkpoint(bounce)
     final, _ = jax.lax.scan(bounce, init, uniforms, unroll=unroll)
     return final.radiance
 
@@ -362,7 +402,7 @@ def draw_uniforms(key, n: int, depth: int, dtype=jnp.float32):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "quirks", "unroll"),
+    static_argnames=("width", "height", "spp", "quirks", "unroll", "detach", "remat"),
 )
 def render_frame(
     scene: Scene,
@@ -372,6 +412,8 @@ def render_frame(
     spp: int = 1,
     quirks: Quirks = VERBATIM,
     unroll: int | bool = 1,
+    detach: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Render one progressive frame -> [H, W, 4] linear RGBA (alpha = 1).
 
@@ -388,7 +430,7 @@ def render_frame(
         cam_u, bounce_u = draw_uniforms(k, n, depth, dtype)
         offset = V2(cam_u[:, 0], cam_u[:, 1])
         ro, rd = gen_ray(scene.camera, coords, offset, float(width), float(height))
-        return trace(scene, ro, rd, bounce_u, quirks, unroll)
+        return trace(scene, ro, rd, bounce_u, quirks, unroll, detach, remat)
 
     if spp == 1:
         radiance = one_sample(key)

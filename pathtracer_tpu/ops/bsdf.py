@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..models.material import Material
@@ -50,6 +51,7 @@ from .vecmath import (
     reflect,
     refract,
     safe_normalize,
+    safe_sqrt,
     splat3,
     to_local,
     to_world,
@@ -194,9 +196,7 @@ def eval_spec_refraction(mat: Material, eta, v: V3, l: V3, h: V3):
     )
     scale = _guard_div(scale, jnp.abs(l.z * v.z), active)
     sqrt_rgb = V3(
-        jnp.sqrt(jnp.maximum(mat.rgb.x, 0.0)),
-        jnp.sqrt(jnp.maximum(mat.rgb.y, 0.0)),
-        jnp.sqrt(jnp.maximum(mat.rgb.z, 0.0)),
+        safe_sqrt(mat.rgb.x), safe_sqrt(mat.rgb.y), safe_sqrt(mat.rgb.z)
     )
     return _mask3(active, sqrt_rgb * scale), pdf
 
@@ -228,7 +228,8 @@ class BsdfSample(NamedTuple):
 
 
 def disney_sample(
-    mat: Material, eta, v_world: V3, n_world: V3, prev_l_world: V3, u
+    mat: Material, eta, v_world: V3, n_world: V3, prev_l_world: V3, u,
+    detach: bool = False,
 ) -> BsdfSample:
     """Importance-sample the Disney BSDF (tracer.rs:441-553).
 
@@ -240,8 +241,16 @@ def disney_sample(
     The reference's CDF branch becomes: sample all three candidate
     directions, evaluate each lobe on its own candidate, select by r1's CDF
     interval — identical math per lane, data-parallel across lanes.
+
+    detach=True enables the detached-sampling gradient estimator (PSDR
+    style): sampled half-vectors/directions and the pdf divisor are
+    stop-gradiented, while the BSDF *value* keeps its parameter
+    dependence. E[d(f)/p] = d(E[f/p]) since the score term integrates out,
+    so parameter gradients stay unbiased without differentiating through
+    the sampling map. Forward values are identical either way.
     """
     r1, r2, u_coin = u[..., 0], u[..., 1], u[..., 2]
+    sg = jax.lax.stop_gradient if detach else (lambda x: x)
 
     t, b = onb(n_world)
     v = to_local(t, b, n_world, v_world)
@@ -262,26 +271,31 @@ def disney_sample(
     sel_spec = ~(sel_diffuse | sel_clear)
 
     # --- Diffuse lobe (tracer.rs:501-507) ---
-    r1_d = _guard_div(r1, cdf0, cdf0 > 0.0)
-    l_diff = cosine_sample_hemisphere(r1_d, r2)
-    h_diff = safe_normalize(l_diff + v)
+    # The three re-conditioned uniforms are clipped to [0, 1]: on lanes that
+    # selected a DIFFERENT lobe the raw value is out of range (e.g. r1 < cdf1
+    # makes r1_s negative) and would drive sqrt/pow to NaN primals; those
+    # NaNs survive the final lobe select through zero-cotangent products
+    # (0 * NaN) in the backward pass and poison parameter gradients.
+    r1_d = jnp.clip(_guard_div(r1, cdf0, cdf0 > 0.0), 0.0, 1.0)
+    l_diff = sg(cosine_sample_hemisphere(r1_d, r2))
+    h_diff = sg(safe_normalize(l_diff + v))
     f_diff, pdf_diff = eval_diffuse(mat, sheen_col, v, l_diff, h_diff)
     pdf_diff = pdf_diff * diffuse_wt
 
     # --- Clearcoat lobe (tracer.rs:509-520) ---
     span_c = cdf1 - cdf0
-    r1_c = _guard_div(r1 - cdf0, span_c, span_c > 0.0)
+    r1_c = jnp.clip(_guard_div(r1 - cdf0, span_c, span_c > 0.0), 0.0, 1.0)
     h_cc = sample_gtr1(mat.clearcoat_roughness, r1_c, r2)
-    h_cc = where3(h_cc.z < 0.0, -h_cc, h_cc)
-    l_cc = safe_normalize(reflect(-v, h_cc))
+    h_cc = sg(where3(h_cc.z < 0.0, -h_cc, h_cc))
+    l_cc = sg(safe_normalize(reflect(-v, h_cc)))
     f_cc, pdf_cc = eval_clearcoat(mat, v, l_cc, h_cc)
     pdf_cc = pdf_cc * clearcoat_wt
 
     # --- Specular reflection/refraction lobes (tracer.rs:521-549) ---
     span_s = 1.0 - cdf1
-    r1_s = _guard_div(r1 - cdf1, span_s, span_s > 0.0)
+    r1_s = jnp.clip(_guard_div(r1 - cdf1, span_s, span_s > 0.0), 0.0, 1.0)
     h_s = sample_ggxvndf(v, mat.ax, mat.ay, r1_s, r2)
-    h_s = where3(h_s.z < 0.0, -h_s, h_s)
+    h_s = sg(where3(h_s.z < 0.0, -h_s, h_s))
 
     # Stale-l Fresnel quirk (tracer.rs:531): world-space prev_l dotted with
     # the local-frame half vector, verbatim.
@@ -289,11 +303,11 @@ def disney_sample(
     ff = 1.0 - ((1.0 - fresnel) * mat.spec_trans * (1.0 - mat.metallic))
     take_reflect = u_coin < ff
 
-    l_refl = safe_normalize(reflect(-v, h_s))
+    l_refl = sg(safe_normalize(reflect(-v, h_s)))
     f_refl, pdf_refl = eval_spec_reflection(mat, eta, spec_col, v, l_refl, h_s)
     pdf_refl = pdf_refl * ff
 
-    l_refr = safe_normalize(refract(-v, h_s, eta))
+    l_refr = sg(safe_normalize(refract(-v, h_s, eta)))
     f_refr, pdf_refr = eval_spec_refraction(mat, eta, v, l_refr, h_s)
     pdf_refr = pdf_refr * (1.0 - ff)
 
@@ -309,7 +323,7 @@ def disney_sample(
 
     l_world = to_world(t, b, n_world, l_local)
     f_out = f * jnp.abs(dot(n_world, l_world))
-    return BsdfSample(l=l_world, f=f_out, pdf=pdf)
+    return BsdfSample(l=l_world, f=f_out, pdf=sg(pdf))
 
 
 def disney_eval(mat: Material, eta, v_world: V3, n_world: V3, l_world: V3):

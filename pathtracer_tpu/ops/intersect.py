@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .vecmath import V3, dot
+from .vecmath import V3, dot, safe_sqrt
 
 MISS = jnp.inf
 
@@ -27,7 +27,7 @@ def ray_sphere(ro: V3, rd: V3, center: V3, radius) -> jnp.ndarray:
     tca = dot(l, rd)
     d2 = dot(l, l) - tca * tca
     radius2 = radius * radius
-    thc = jnp.sqrt(jnp.maximum(radius2 - d2, 0.0))
+    thc = safe_sqrt(radius2 - d2)
     t0 = tca - thc
     t1 = tca + thc
     t = jnp.where(t0 < 0.0, t1, t0)

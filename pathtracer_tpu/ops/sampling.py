@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .vecmath import INV_PI, PI, TWO_PI, V3, cross, dot, safe_normalize
+from .vecmath import INV_PI, PI, TWO_PI, V3, cross, dot, safe_normalize, safe_sqrt
 
 
 def power_heuristic(a, b):
@@ -35,7 +35,7 @@ def dielectric_fresnel(cos_theta_i, eta):
     """Exact dielectric Fresnel with total internal reflection
     (tracer.rs:308-322)."""
     sin_theta_tsq = eta * eta * (1.0 - cos_theta_i * cos_theta_i)
-    cos_theta_t = jnp.sqrt(jnp.maximum(1.0 - sin_theta_tsq, 0.0))
+    cos_theta_t = safe_sqrt(1.0 - sin_theta_tsq)
     denom_s = eta * cos_theta_t + cos_theta_i
     denom_p = eta * cos_theta_i + cos_theta_t
     rs = (eta * cos_theta_t - cos_theta_i) / jnp.where(denom_s != 0.0, denom_s, 1.0)
@@ -69,10 +69,8 @@ def sample_gtr1(rgh, r1, r2) -> V3:
     a = jnp.maximum(0.001, rgh)
     a2 = a * a
     phi = r1 * TWO_PI
-    cos_theta = jnp.sqrt(
-        jnp.maximum((1.0 - jnp.power(a2, 1.0 - r1)) / (1.0 - a2), 0.0)
-    )
-    sin_theta = jnp.clip(jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0)), 0.0, 1.0)
+    cos_theta = safe_sqrt((1.0 - jnp.power(a2, 1.0 - r1)) / (1.0 - a2))
+    sin_theta = jnp.clip(safe_sqrt(1.0 - cos_theta * cos_theta), 0.0, 1.0)
     return V3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
 
 
@@ -94,12 +92,12 @@ def sample_ggxvndf(v: V3, ax, ay, r1, r2) -> V3:
     t1 = r * jnp.cos(phi)
     t2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh.z)
-    t2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - t1 * t1, 0.0)) + s * t2
+    t2 = (1.0 - s) * safe_sqrt(1.0 - t1 * t1) + s * t2
 
     nh = (
         t1v * t1
         + t2v * t2
-        + vh * jnp.sqrt(jnp.maximum(1.0 - t1 * t1 - t2 * t2, 0.0))
+        + vh * safe_sqrt(1.0 - t1 * t1 - t2 * t2)
     )
     return safe_normalize(V3(ax * nh.x, ay * nh.y, jnp.maximum(nh.z, 0.0)))
 
@@ -108,7 +106,7 @@ def smithg(ndotv, alphag):
     """Smith G1, isotropic (tracer.rs:276-280)."""
     a = alphag * alphag
     b = ndotv * ndotv
-    denom = ndotv + jnp.sqrt(jnp.maximum(a + b - a * b, 0.0))
+    denom = ndotv + safe_sqrt(a + b - a * b)
     return (2.0 * ndotv) / jnp.where(denom != 0.0, denom, 1.0)
 
 
@@ -126,7 +124,7 @@ def smithg_aniso(ndotv, vdotx, vdoty, ax, ay):
     a = vdotx * ax
     b = vdoty * ay
     c = ndotv
-    denom = ndotv + jnp.sqrt(a * a + b * b + c * c)
+    denom = ndotv + safe_sqrt(a * a + b * b + c * c)
     return (2.0 * ndotv) / jnp.where(denom != 0.0, denom, 1.0)
 
 
@@ -136,7 +134,7 @@ def cosine_sample_hemisphere(r1, r2) -> V3:
     phi = TWO_PI * r2
     x = r * jnp.cos(phi)
     y = r * jnp.sin(phi)
-    z = jnp.sqrt(jnp.maximum(1.0 - x * x - y * y, 0.0))
+    z = safe_sqrt(1.0 - x * x - y * y)
     return V3(x, y, z)
 
 
@@ -145,6 +143,6 @@ def uniform_sample_hemisphere(r1, r2) -> V3:
 
     Verbatim: r = sqrt(max(0, 1 - r1^2)), z = r1 — i.e. r1 IS cos(theta).
     """
-    r = jnp.sqrt(jnp.maximum(1.0 - r1 * r1, 0.0))
+    r = safe_sqrt(1.0 - r1 * r1)
     phi = TWO_PI * r2
     return V3(r * jnp.cos(phi), r * jnp.sin(phi), r1)

@@ -184,6 +184,42 @@ class V3(NamedTuple):
         return jnp.stack([self.x, self.y, self.z], axis=axis)
 
 
+class B3(NamedTuple):
+    """3-vector of booleans over SoA batches (reference B3, fx.rs:519-593)."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    def __and__(self, o: "B3") -> "B3":
+        return B3(self.x & o.x, self.y & o.y, self.z & o.z)
+
+    def __or__(self, o: "B3") -> "B3":
+        return B3(self.x | o.x, self.y | o.y, self.z | o.z)
+
+    def __invert__(self) -> "B3":
+        return B3(~self.x, ~self.y, ~self.z)
+
+    def any(self) -> jnp.ndarray:
+        return self.x | self.y | self.z
+
+    def all(self) -> jnp.ndarray:
+        return self.x & self.y & self.z
+
+    def select(self, a: V3, b: V3) -> V3:
+        """Componentwise where: self ? a : b."""
+        return V3(
+            jnp.where(self.x, a.x, b.x),
+            jnp.where(self.y, a.y, b.y),
+            jnp.where(self.z, a.z, b.z),
+        )
+
+
+def less_than(a: V3, b: V3) -> B3:
+    """GLSL lessThan -> B3 (fx.rs B3 comparison surface)."""
+    return B3(a.x < b.x, a.y < b.y, a.z < b.z)
+
+
 # ---------------------------------------------------------------------------
 # Constructors (fx.rs new/new_x/zeros, F3::color)
 # ---------------------------------------------------------------------------
@@ -227,6 +263,17 @@ def hex_color(hex_str: str, dtype=jnp.float32) -> V3:
 # ---------------------------------------------------------------------------
 # Free functions (math.rs:1-78)
 # ---------------------------------------------------------------------------
+
+def safe_sqrt(x):
+    """sqrt clamped at zero with a NaN-free backward pass.
+
+    jnp.sqrt(jnp.maximum(x, 0.0)) produces NaN cotangents whenever x <= 0
+    (sqrt' (0) = inf times a zero cotangent): the double-where pattern keeps
+    both primal and gradient exactly zero there.
+    """
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
 
 def dot(a: V3, b: V3) -> jnp.ndarray:
     return a.dot(b)
@@ -288,8 +335,7 @@ def refract(i: V3, n: V3, eta) -> V3:
     (tracer.rs:468-475)."""
     ndoti = dot(n, i)
     k = 1.0 - eta * eta * (1.0 - ndoti * ndoti)
-    k_pos = jnp.maximum(k, 0.0)
-    out = i * eta - n * (eta * ndoti + jnp.sqrt(k_pos))
+    out = i * eta - n * (eta * ndoti + safe_sqrt(k))
     zero = jnp.zeros_like(out.x)
     return V3(
         jnp.where(k < 0.0, zero, out.x),
