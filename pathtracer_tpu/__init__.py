@@ -34,6 +34,14 @@ from .models.analytical import (
     make_scene as make_analytical_scene,
 )
 from .models.camera import Pinhole, default_pinhole, gen_ray, pixel_coords
+from .models.sdf import (
+    SdfParams,
+    default_params as sdf_default_params,
+    make_scene as make_sdf_scene,
+    scene_sdf,
+    sdf_normal,
+    sphere_trace,
+)
 from .models.light import (
     Lights,
     LightType,
@@ -55,14 +63,17 @@ from .models.material import (
     select_material,
     stack_materials,
 )
+from .models.ray import Ray, make_ray
 from .models.scene import Scene, SurfaceHit
 from .ops import bsdf, intersect, sampling, vecmath
 from .ops.vecmath import (
     INV_PI,
     PI,
     TWO_PI,
+    B3,
     V2,
     V3,
+    less_than,
     cross,
     dot,
     from_array,
