@@ -6,6 +6,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Rays are counted conservatively as path segments only
 (width * height * spp * depth), excluding shadow rays — the actual traced-ray
 count is ~2x this (one NEE shadow ray per bounce).
+
+Measurement notes (hard-won on the tunneled axon backend):
+- frames are CHAINED through an accumulator so no kernel can be elided and
+  every frame's execution is on the critical path;
+- the clock stops on a host readback of a scalar reduction of the
+  accumulator (block_until_ready alone has been observed to return early
+  through the tunnel, reporting physically impossible rates).
 """
 
 import json
@@ -18,26 +25,42 @@ import jax.numpy as jnp
 
 def main() -> int:
     import pathtracer_tpu as pt
+    from pathtracer_tpu.ops.megakernel import render_frame_pallas
 
-    width, height, spp, depth, frames = 1920, 1080, 1, 4, 50
+    width, height, spp, depth, frames = 1920, 1080, 1, 4, 150
     scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=depth)
     key = jax.random.PRNGKey(0)
 
+    on_tpu = jax.devices()[0].platform != "cpu"
+
     def frame(k):
+        if on_tpu:
+            # Fused Pallas megakernel, in-kernel TPU PRNG (zero uniform
+            # bandwidth); validated against the XLA integrator + f64 oracle
+            # in tests/test_megakernel.py.
+            return render_frame_pallas(
+                scene, k, width, height, spp=spp, uniforms="inkernel",
+                tile_rows=32,
+            )
         return pt.render_frame(scene, k, width, height, spp=spp)
 
-    # Warm-up / compile. No device->host transfers anywhere: the tunneled
-    # TPU backend supports compute + block_until_ready but transfers can
-    # stall; correctness is covered by the CPU-oracle test suite.
-    jax.block_until_ready(frame(key))
+    # Warm-up / compile, synced by readback. A handful of chained frames:
+    # the first few dispatches through the tunneled backend are erratically
+    # slow (queue/allocator warmup), which would otherwise pollute the
+    # measurement window.
+    acc = frame(key)
+    wkeys = jax.random.split(jax.random.PRNGKey(1), 16)
+    for i in range(16):
+        acc = acc + frame(wkeys[i])
+    float(jnp.sum(acc))
 
     keys = jax.random.split(key, frames)
     t0 = time.perf_counter()
-    out = None
     for i in range(frames):
-        out = frame(keys[i])
-    jax.block_until_ready(out)
+        acc = acc + frame(keys[i])
+    checksum = float(jnp.sum(acc))  # forces execution of the whole chain
     dt = time.perf_counter() - t0
+    assert jnp.isfinite(checksum), f"non-finite checksum {checksum}"
 
     rays = width * height * spp * depth * frames
     rays_per_s = rays / dt

@@ -61,11 +61,19 @@ from .vecmath import (
 
 
 def _guard_div(a, b, mask):
-    """a / b where mask, else 0 — with the denominator itself guarded so the
-    primal AND cotangent of masked lanes are exactly zero."""
-    safe_b = jnp.where(mask, b, 1.0)
-    safe_a = jnp.where(mask, a, 0.0)
-    return jnp.where(mask, safe_a / safe_b, 0.0)
+    """a / b where mask AND b != 0, else 0 — with the denominator itself
+    guarded so the primal AND cotangent of masked lanes are exactly zero.
+
+    The b != 0 guard is load-bearing at exactly-grazing incidence
+    (dot(n, v) == 0 after f32 rounding): the lobe denominators 4*l.z*v.z /
+    v.z collapse to 0 together with their Smith-G numerators, and the
+    resulting 0/0 NaN would leak through the lobe select into throughput
+    (observed ~1 per 10^7 paths on TPU). Returning 0 is the physical limit:
+    G -> 0 at grazing, the lobe is unsampleable there."""
+    m = mask & (b != 0.0)
+    safe_b = jnp.where(m, b, 1.0)
+    safe_a = jnp.where(m, a, 0.0)
+    return jnp.where(m, safe_a / safe_b, 0.0)
 
 
 def _mask3(mask, v: V3) -> V3:
@@ -248,8 +256,15 @@ def disney_sample(
     dependence. E[d(f)/p] = d(E[f/p]) since the score term integrates out,
     so parameter gradients stay unbiased without differentiating through
     the sampling map. Forward values are identical either way.
+
+    `u` may be a [..., 3] array or a tuple of three arrays (the Pallas
+    megakernel passes a tuple to avoid materializing a trailing-dim-3
+    array inside the kernel).
     """
-    r1, r2, u_coin = u[..., 0], u[..., 1], u[..., 2]
+    if isinstance(u, (tuple, list)):
+        r1, r2, u_coin = u
+    else:
+        r1, r2, u_coin = u[..., 0], u[..., 1], u[..., 2]
     sg = jax.lax.stop_gradient if detach else (lambda x: x)
 
     t, b = onb(n_world)

@@ -1,0 +1,632 @@
+"""Pallas TPU megakernel: the whole per-pixel path loop fused in one kernel.
+
+This is the M5 performance path (SURVEY.md §7): where the XLA integrator
+(integrator/tracer.py) walks the bounce loop as a lax.scan whose carry
+round-trips HBM every bounce, this kernel keeps a tile of rays resident in
+VMEM for the ENTIRE path — camera ray generation, sphere/plane intersection,
+the emitter pass, next-event estimation with MIS, and four-lobe Disney BSDF
+sampling (reference: rust-pathtracer/src/tracer.rs:22-220 + 441-626,
+renderer/src/analytical.rs:28-145) — writing only the final radiance back to
+HBM. Two randomness modes:
+
+- uniforms="hbm": consumes the SAME threefry uniforms as the XLA path
+  (integrator.tracer.draw_uniforms), streamed per tile. Bitwise-identical
+  sampling decisions, so the kernel is validated allclose against the XLA
+  integrator, which is itself validated against the f64 CPU oracle.
+- uniforms="inkernel": the TPU core PRNG (pltpu.prng_random_bits) generates
+  uniforms in VMEM, seeded per (frame, tile). No uniform tensor ever touches
+  HBM: zero bandwidth, different but equally-valid sample sequence
+  (validated statistically against the XLA estimator).
+
+Scene support: the analytical demo scene (2 spheres + checker plane + sky +
+L spherical lights) with any L and any material table size M, specialized by
+static unrolling — no per-lane gathers, only where-chains, which is the
+TPU-native replacement for the reference's trait dispatch per ray.
+
+The kernel reuses the SAME pure jnp building blocks as the XLA path
+(ops.bsdf disney_sample/disney_eval, ops.sampling, ops.intersect,
+models.material.finalize_material): Pallas traces them straight into the
+kernel body, so there is exactly one implementation of the BSDF math.
+
+Forward path only. Inverse rendering (jax.grad) uses the XLA integrator;
+this kernel is the production *rendering* fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..integrator.tracer import EPS, U_PER_BOUNCE, VERBATIM, Quirks, draw_uniforms
+from ..models.analytical import AnalyticalParams
+from ..models.material import Material, default_material, finalize_material
+from ..models.scene import Scene
+from ..ops.bsdf import disney_eval, disney_sample
+from ..ops.intersect import ray_plane, ray_sphere
+from ..ops.sampling import power_heuristic, uniform_sample_hemisphere
+from ..ops.vecmath import (
+    V3,
+    dot,
+    mix,
+    normalize,
+    onb,
+    safe_normalize,
+    splat3,
+    to_world,
+    where3,
+    zeros3,
+)
+
+LANES = 128  # TPU vector lane width; tiles are (tile_rows, 128) rays.
+
+# ---------------------------------------------------------------------------
+# Scene parameter packing: host pytree -> flat f32 vector -> in-kernel scalars
+# ---------------------------------------------------------------------------
+
+_MAT_FIELDS = (
+    # (field, arity) — the Material fields the integrator consumes
+    # (material.rs:48-78; alpha/medium are declared-but-unused, parity).
+    ("rgb", 3),
+    ("anisotropic", 1),
+    ("emission", 3),
+    ("metallic", 1),
+    ("roughness", 1),
+    ("subsurface", 1),
+    ("specular_tint", 1),
+    ("sheen", 1),
+    ("sheen_tint", 1),
+    ("clearcoat", 1),
+    ("clearcoat_gloss", 1),
+    ("spec_trans", 1),
+    ("ior", 1),
+)
+_MAT_STRIDE = sum(a for _, a in _MAT_FIELDS)  # 16
+
+
+def _v3_list(v: V3):
+    return [v.x, v.y, v.z]
+
+
+def pack_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
+    """Flatten camera-derived vectors + analytical params + lights into one
+    f32 vector consumed by the kernel via SMEM scalar reads.
+
+    The camera basis is precomputed here exactly as Pinhole::gen_ray does
+    (camera/pinhole.rs:38-61): lower_left / horizontal / vertical / origin.
+    """
+    p: AnalyticalParams = scene.params
+    cam = scene.camera
+    f32 = jnp.float32
+
+    ratio = width / height
+    half_width = jnp.tan(jnp.deg2rad(cam.fov) * 0.5)
+    half_height = half_width / ratio
+    up = V3(jnp.asarray(0.0, f32), jnp.asarray(1.0, f32), jnp.asarray(0.0, f32))
+    w = normalize(cam.origin - cam.center)
+    u = up.cross(w)  # unnormalized, verbatim (pinhole.rs:49)
+    v = w.cross(u)
+    lower_left = cam.origin - u * half_width - v * half_height - w
+    horizontal = u * (half_width * 2.0)
+    vertical = v * (half_height * 2.0)
+
+    vals: list = []
+    vals += _v3_list(lower_left) + _v3_list(horizontal) + _v3_list(vertical)
+    vals += _v3_list(cam.origin)
+
+    # Spheres (analytical.rs:41,70).
+    for i in range(2):
+        vals += [p.sphere_center.x[i], p.sphere_center.y[i], p.sphere_center.z[i]]
+    vals += [p.sphere_radius[0], p.sphere_radius[1]]
+
+    # Plane + checker (analytical.rs:101-119).
+    vals += _v3_list(p.plane_point) + _v3_list(p.plane_normal)
+    vals += [p.checker_scale, p.checker_offset, p.checker_albedo[0], p.checker_albedo[1]]
+
+    # Sky (analytical.rs:28-32).
+    vals += _v3_list(p.sky_horizon) + _v3_list(p.sky_zenith) + [p.sky_scale]
+
+    # Lights (globals.rs:75-84): L x [pos(3), emission(3), radius, area, type].
+    L = scene.lights.count
+    for i in range(L):
+        lt = scene.lights
+        vals += [lt.position.x[i], lt.position.y[i], lt.position.z[i]]
+        vals += [lt.emission.x[i], lt.emission.y[i], lt.emission.z[i]]
+        vals += [lt.radius[i], lt.area[i], lt.light_type[i].astype(f32)]
+
+    # Material table [M] (material.rs:48-78).
+    M = int(p.materials.roughness.shape[0])
+    for i in range(M):
+        for name, arity in _MAT_FIELDS:
+            leaf = getattr(p.materials, name)
+            if arity == 3:
+                vals += [leaf.x[i], leaf.y[i], leaf.z[i]]
+            else:
+                vals.append(leaf[i])
+
+    flat = jnp.stack([jnp.asarray(x, f32) for x in vals])
+    return flat[None, :]  # (1, P) for SMEM
+
+
+class _SceneScalars:
+    """In-kernel view: reads pack_scene's layout back as traced scalars."""
+
+    def __init__(self, ref, n_lights: int, n_materials: int):
+        self._ref = ref
+        self._off = 0
+        get = self._get
+
+        self.lower_left = V3(get(), get(), get())
+        self.horizontal = V3(get(), get(), get())
+        self.vertical = V3(get(), get(), get())
+        self.cam_origin = V3(get(), get(), get())
+
+        self.sphere_center = [V3(get(), get(), get()) for _ in range(2)]
+        self.sphere_radius = [get() for _ in range(2)]
+
+        self.plane_point = V3(get(), get(), get())
+        self.plane_normal = V3(get(), get(), get())
+        self.checker_scale = get()
+        self.checker_offset = get()
+        self.checker_albedo = [get(), get()]
+
+        self.sky_horizon = V3(get(), get(), get())
+        self.sky_zenith = V3(get(), get(), get())
+        self.sky_scale = get()
+
+        self.lights = []
+        for _ in range(n_lights):
+            self.lights.append(
+                dict(
+                    position=V3(get(), get(), get()),
+                    emission=V3(get(), get(), get()),
+                    radius=get(),
+                    area=get(),
+                    light_type=get(),
+                )
+            )
+
+        self.materials = []
+        for _ in range(n_materials):
+            m = {}
+            for name, arity in _MAT_FIELDS:
+                m[name] = V3(get(), get(), get()) if arity == 3 else get()
+            self.materials.append(m)
+
+    def _get(self):
+        val = self._ref[0, self._off]
+        self._off += 1
+        return val
+
+
+# ---------------------------------------------------------------------------
+# Kernel-local scene functions (pallas-safe: where-chains, no gathers)
+# ---------------------------------------------------------------------------
+
+
+def _background(sc: _SceneScalars, rd: V3) -> V3:
+    """Sky gradient (analytical.rs:28-32)."""
+    t = 0.5 * (rd.y + 1.0)
+    c = mix(sc.sky_horizon, sc.sky_zenith, t)
+    return c.to_linear() * splat3(sc.sky_scale)
+
+
+def _pick_material(sc: _SceneScalars, idx, shape) -> Material:
+    """Material table lookup as a static where-chain — the gather-free
+    replacement for models.material.gather_material inside the kernel."""
+    M = len(sc.materials)
+
+    def chain(field, arity):
+        if arity == 3:
+            out = sc.materials[M - 1][field] * splat3(jnp.ones(shape, jnp.float32))
+            for i in reversed(range(M - 1)):
+                out = where3(idx == i, splat3(jnp.ones(shape, jnp.float32)) * sc.materials[i][field], out)
+            return out
+        out = jnp.broadcast_to(sc.materials[M - 1][field], shape)
+        for i in reversed(range(M - 1)):
+            out = jnp.where(idx == i, sc.materials[i][field], out)
+        return out
+
+    base = default_material(shape, jnp.float32)
+    fields = {name: chain(name, arity) for name, arity in _MAT_FIELDS}
+    return base._replace(**fields)
+
+
+def _closest_hit(sc: _SceneScalars, ro: V3, rd: V3):
+    """Vectorized closest_hit (analytical.rs:36-127): 2 spheres + plane with
+    a procedural checker computed from the ray direction."""
+    shape = jnp.shape(rd.x)
+    c0, c1 = sc.sphere_center
+    t0 = ray_sphere(ro, rd, c0, sc.sphere_radius[0])
+    t1 = ray_sphere(ro, rd, c1, sc.sphere_radius[1])
+    tp = ray_plane(ro, rd, sc.plane_normal, sc.plane_point)
+
+    t = jnp.minimum(jnp.minimum(t0, t1), tp)
+    # First-min-wins tie order matches the reference's strict `<` chains.
+    idx = jnp.where(t == t0, 0, jnp.where(t == t1, 1, 2))
+    hit = jnp.isfinite(t)
+
+    hp = ro + rd * jnp.where(hit, t, 0.0)
+    center = where3(idx == 0, c0, c1)
+    n_sphere = safe_normalize(hp - center)
+    n_plane = V3(
+        jnp.broadcast_to(sc.plane_normal.x, shape),
+        jnp.broadcast_to(sc.plane_normal.y, shape),
+        jnp.broadcast_to(sc.plane_normal.z, shape),
+    )
+    normal = where3(idx == 2, n_plane, n_sphere)
+
+    mat = _pick_material(sc, idx, shape)
+    # Checker from ray direction (analytical.rs:107-115), incl. Rust fmod.
+    safe_dy = jnp.where(rd.y != 0.0, rd.y, 1.0)
+    cx = rd.x / safe_dy * sc.checker_scale + sc.checker_offset
+    cy = rd.z / safe_dy * sc.checker_scale + sc.checker_offset
+    x1 = jnp.fmod(jnp.floor(cx), 2.0)
+    y1 = jnp.fmod(jnp.floor(cy), 2.0)
+    checker = jnp.where(
+        jnp.fmod(x1 + y1, 2.0) < 1.0, sc.checker_albedo[0], sc.checker_albedo[1]
+    )
+    mat = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(idx == 2, a, b),
+        mat._replace(rgb=splat3(checker)),
+        mat,
+    )
+    # Missed lanes carry Material::new defaults (tracer.rs:63 reset).
+    defaults = default_material(shape, jnp.float32)
+    mat = jax.tree_util.tree_map(lambda a, b: jnp.where(hit, a, b), mat, defaults)
+
+    t = jnp.where(hit, t, jnp.inf)
+    return t, normal, mat
+
+
+def _any_hit(sc: _SceneScalars, ro: V3, rd: V3, max_dist):
+    """Occlusion (analytical.rs:130-145) — verbatim quirk: ignores max_dist."""
+    del max_dist
+    c0, c1 = sc.sphere_center
+    t0 = ray_sphere(ro, rd, c0, sc.sphere_radius[0])
+    t1 = ray_sphere(ro, rd, c1, sc.sphere_radius[1])
+    tp = ray_plane(ro, rd, sc.plane_normal, sc.plane_point)
+    return jnp.isfinite(t0) | jnp.isfinite(t1) | jnp.isfinite(tp)
+
+
+def _sample_lights_emitter(sc: _SceneScalars, ro: V3, rd: V3, gate_dist):
+    """Emitter-intersection pass (scene.rs:36-86), statically unrolled over
+    the light list. Mirrors integrator.tracer.sample_lights_emitter."""
+    shape = jnp.shape(rd.x)
+    dist = gate_dist
+    hit = jnp.zeros(shape, bool)
+    pdf = jnp.zeros(shape, jnp.float32)
+    emission = zeros3(shape, jnp.float32)
+    for lt in sc.lights:
+        is_spherical = lt["light_type"] == 1.0
+        d = ray_sphere(ro, rd, lt["position"], lt["radius"])
+        take = jnp.isfinite(d) & (d < dist) & is_spherical
+        d_safe = jnp.where(take, d, 1.0)
+        hit_point = ro + rd * jnp.where(take, d_safe, 0.0)
+        cos_theta = dot(-rd, safe_normalize(hit_point - lt["position"]))
+        denom = lt["area"] * cos_theta * 0.5
+        pdf_i = (d_safe * d_safe) / jnp.where(denom != 0.0, denom, 1.0)
+        dist = jnp.where(take, d_safe, dist)
+        pdf = jnp.where(take, pdf_i, pdf)
+        emission = where3(take, emission * 0.0 + lt["emission"], emission)
+        hit = hit | take
+    return hit, dist, pdf, emission
+
+
+def _direct_light(sc: _SceneScalars, rd: V3, fhp: V3, ffnormal: V3, material, eta, u):
+    """NEE (tracer.rs:126-170) with the uniform light pick unrolled as a
+    where-chain over the static light list."""
+    u_pick, r1, r2 = u
+    shape = jnp.shape(rd.x)
+    L = len(sc.lights)
+    if L == 0:
+        return zeros3(shape, jnp.float32)
+
+    scatter_pos = fhp + ffnormal * EPS
+    idx = jnp.clip((u_pick * L).astype(jnp.int32), 0, L - 1)
+
+    sampled = uniform_sample_hemisphere(r1, r2)
+
+    def one(lt):
+        """sample_light (tracer.rs:173-220) for one light, all lanes."""
+        center_to_surf = scatter_pos - lt["position"]
+        dist_to_center = center_to_surf.length()
+        axis = center_to_surf / splat3(
+            jnp.where(dist_to_center > 0.0, dist_to_center, 1.0)
+        )
+        t, b = onb(axis)
+        sampled_dir = to_world(t, b, axis, sampled)
+        light_surface = lt["position"] + sampled_dir * splat3(lt["radius"])
+        direction = light_surface - scatter_pos
+        dist = direction.length()
+        dist_sq = dist * dist
+        direction = direction / splat3(jnp.where(dist > 0.0, dist, 1.0))
+        normal = safe_normalize(light_surface - lt["position"])
+        emission = lt["emission"] * float(L)  # tracer.rs:214
+        denom = lt["area"] * 0.5 * jnp.abs(dot(normal, direction))
+        pdf = dist_sq / jnp.where(denom != 0.0, denom, 1.0)
+        return normal, emission, direction, dist, pdf, lt["area"]
+
+    normal, emission, direction, dist, pdf, area = one(sc.lights[L - 1])
+    # broadcast the last light's sample to full lanes, then select
+    bcast = lambda v: jnp.broadcast_to(v, shape)
+    b3 = lambda v: V3(bcast(v.x), bcast(v.y), bcast(v.z))
+    normal, emission, direction = b3(normal), b3(emission), b3(direction)
+    dist, pdf, area = bcast(dist), bcast(pdf), bcast(area)
+    for i in reversed(range(L - 1)):
+        ni, ei, di, si, pi, ai = one(sc.lights[i])
+        take = idx == i
+        normal = where3(take, ni, normal)
+        emission = where3(take, ei, emission)
+        direction = where3(take, di, direction)
+        dist = jnp.where(take, si, dist)
+        pdf = jnp.where(take, pi, pdf)
+        area = jnp.where(take, ai, area)
+
+    facing = dot(direction, normal) < 0.0  # tracer.rs:148
+    in_shadow = _any_hit(sc, scatter_pos, direction, dist - EPS)
+    f, bsdf_pdf = disney_eval(material, eta, -rd, ffnormal, direction)
+    mis = jnp.where(area > 0.0, power_heuristic(pdf, bsdf_pdf), 1.0)
+    ok = facing & (~in_shadow) & (bsdf_pdf > 0.0) & (pdf > 0.0)
+    scale = jnp.where(ok, mis / jnp.where(pdf != 0.0, pdf, 1.0), 0.0)
+    return emission * f * scale
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _mask3(mask, v: V3) -> V3:
+    zero = jnp.zeros_like(v.x)
+    return V3(
+        jnp.where(mask, v.x, zero),
+        jnp.where(mask, v.y, zero),
+        jnp.where(mask, v.z, zero),
+    )
+
+
+def _make_kernel(
+    width: int,
+    height: int,
+    spp: int,
+    depth: int,
+    tile_rows: int,
+    n_lights: int,
+    n_materials: int,
+    quirks: Quirks,
+    inkernel_rng: bool,
+):
+    shape = (tile_rows, LANES)
+    tile = tile_rows * LANES
+    n_pix = width * height
+    inv24 = float(1.0 / (1 << 24))  # Python literal: folds into the kernel.
+
+    def body(sp_ref, seed_ref, u_ref, r_ref, g_ref, b_ref):
+        sc = _SceneScalars(sp_ref, n_lights, n_materials)
+        tile_id = pl.program_id(0)
+
+        if inkernel_rng:
+            # Distinct stream per (frame seed, tile): Weyl-mixed tile id.
+            # Weyl-mixed tile id (0x9E3779B9 as a signed i32 literal).
+            pltpu.prng_seed(seed_ref[0, 0] + tile_id * jnp.int32(-0x61C88647))
+
+            def uniform():
+                # Top 24 bits -> [0,1). Mosaic has no u32->f32 cast; the
+                # shifted value is < 2^24 so an i32 bitcast is exact.
+                bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+                hi24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+                return hi24.astype(jnp.float32) * inv24
+        else:
+            def uniform(_counter=[0]):
+                row = _counter[0]
+                _counter[0] += 1
+                return u_ref[row].reshape(shape)
+
+        # ---- Ray generation (tracer.rs:36-47 + pinhole.rs:38-61) ----
+        lane = (
+            tile_id * tile
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        )
+        pid = jnp.minimum(lane // spp, n_pix - 1)
+        px = (pid % width).astype(jnp.float32)
+        py = (pid // width).astype(jnp.float32)
+        cx = px * jnp.float32(1.0 / width)
+        cy = (jnp.float32(height - 1) - py) * jnp.float32(1.0 / height)
+
+        ox = uniform()
+        oy = uniform()
+        rd = (
+            (sc.lower_left - sc.cam_origin)
+            + sc.horizontal * (jnp.float32(1.0 / width) * ox + cx)
+            + sc.vertical * (jnp.float32(1.0 / height) * oy + cy)
+        )
+        rd = normalize(rd)
+        ro = V3(
+            jnp.broadcast_to(sc.cam_origin.x, shape),
+            jnp.broadcast_to(sc.cam_origin.y, shape),
+            jnp.broadcast_to(sc.cam_origin.z, shape),
+        )
+
+        # ---- Path state (integrator.tracer.PathState) ----
+        radiance = zeros3(shape, jnp.float32)
+        throughput = splat3(jnp.ones(shape, jnp.float32))
+        alive = jnp.ones(shape, bool)
+        prev_pdf = (
+            jnp.zeros(shape, jnp.float32)
+            if quirks.primary_mis
+            else jnp.full(shape, -1.0, jnp.float32)
+        )
+        prev_l = zeros3(shape, jnp.float32)
+        prev_hit_dist = jnp.full(shape, -1.0, jnp.float32)
+
+        # ---- Bounce loop, statically unrolled (tracer.rs:61-103) ----
+        for _bounce in range(depth):
+            u6 = [uniform() for _ in range(U_PER_BOUNCE)]
+
+            t, normal, material = _closest_hit(sc, ro, rd)
+            geo_hit = jnp.isfinite(t)
+
+            if quirks.stale_emitter_gate:
+                gate_dist = jnp.where(geo_hit, t, prev_hit_dist)
+            else:
+                gate_dist = jnp.where(geo_hit, t, jnp.inf)
+            em_hit, em_dist, em_pdf, em_emission = _sample_lights_emitter(
+                sc, ro, rd, gate_dist
+            )
+
+            hit = geo_hit | em_hit
+            hit_dist = jnp.where(em_hit, em_dist, gate_dist)
+
+            bg = _background(sc, rd)
+            radiance = radiance + _mask3(alive & ~hit, bg * throughput)
+
+            material = finalize_material(material)
+            fhp = ro + rd * jnp.where(hit, hit_dist, 0.0)
+            entering = dot(normal, rd) <= 0.0
+            ffnormal = where3(entering, normal, -normal)
+            eta = jnp.where(dot(rd, normal) < 0.0, 1.0 / material.ior, material.ior)
+
+            radiance = radiance + _mask3(alive & hit, material.emission * throughput)
+
+            mis_w = power_heuristic(jnp.maximum(prev_pdf, 0.0), em_pdf)
+            if not quirks.primary_mis:
+                mis_w = jnp.where(prev_pdf < 0.0, 1.0, mis_w)
+            radiance = radiance + _mask3(
+                alive & em_hit, em_emission * mis_w * throughput
+            )
+
+            live = alive & hit & ~em_hit
+
+            ld = _direct_light(sc, rd, fhp, ffnormal, material, eta, u6[0:3])
+            radiance = radiance + _mask3(live, ld * throughput)
+
+            bs = disney_sample(material, eta, -rd, ffnormal, prev_l, tuple(u6[3:6]))
+            cont = live & (bs.pdf > 0.0)
+            safe_pdf = jnp.where(bs.pdf > 0.0, bs.pdf, 1.0)
+            throughput = where3(cont, throughput * bs.f / splat3(safe_pdf), throughput)
+
+            ro = where3(cont, fhp + bs.l * EPS, ro)
+            rd = where3(cont, bs.l, rd)
+            prev_pdf = jnp.where(live, bs.pdf, prev_pdf)
+            prev_l = where3(live, bs.l, prev_l)
+            prev_hit_dist = jnp.where(alive & hit, hit_dist, prev_hit_dist)
+            alive = cont
+
+        r_ref[:] = radiance.x
+        g_ref[:] = radiance.y
+        b_ref[:] = radiance.z
+
+    return body
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "spp",
+        "quirks",
+        "tile_rows",
+        "uniforms",
+        "interpret",
+    ),
+)
+def render_frame_pallas(
+    scene: Scene,
+    key,
+    width: int,
+    height: int,
+    spp: int = 1,
+    quirks: Quirks = VERBATIM,
+    tile_rows: int = 16,
+    uniforms: str = "inkernel",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Render one progressive frame with the fused Pallas megakernel.
+
+    Drop-in for integrator.tracer.render_frame on the analytical scene:
+    returns [H, W, 4] linear RGBA. `uniforms`:
+    - "inkernel": TPU core PRNG, zero uniform bandwidth (fast path);
+    - "hbm": threefry uniforms identical to the XLA integrator's, for
+      allclose validation against it.
+    """
+    depth = scene.recursion_depth
+    n = width * height * spp
+    tile = tile_rows * LANES
+    num_tiles = pl.cdiv(n, tile)
+    n_pad = num_tiles * tile
+    n_lights = scene.lights.count
+    n_materials = int(scene.params.materials.roughness.shape[0])
+
+    sp = pack_scene(scene, width, height)
+
+    if uniforms == "hbm":
+        cam_u, bounce_u = draw_uniforms(key, n, depth, jnp.float32)
+        # Row layout the kernel consumes in draw order: [ox, oy,
+        # bounce0 u0..u5, bounce1 u0..u5, ...] — matches the XLA path's
+        # slicing of draw_uniforms output exactly.
+        rows = [cam_u[:, 0], cam_u[:, 1]]
+        for d in range(depth):
+            for j in range(U_PER_BOUNCE):
+                rows.append(bounce_u[d, :, j])
+        u_all = jnp.stack(rows)  # [U, n]
+        u_all = jnp.pad(u_all, ((0, 0), (0, n_pad - n)), constant_values=0.5)
+        seed = jnp.zeros((1, 1), jnp.int32)
+        u_rows = 2 + depth * U_PER_BOUNCE
+        u_spec = pl.BlockSpec(
+            (u_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+    else:
+        seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        u_all = jnp.zeros((1, tile), jnp.float32)  # placeholder, never read
+        u_spec = pl.BlockSpec((1, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel(
+        width,
+        height,
+        spp,
+        depth,
+        tile_rows,
+        n_lights,
+        n_materials,
+        quirks,
+        inkernel_rng=(uniforms != "hbm"),
+    )
+
+    out_shape = (num_tiles * tile_rows, LANES)
+    out_spec = pl.BlockSpec(
+        (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, sp.shape[1]), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            u_spec,
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(sp, seed, u_all)
+
+    def finish(c):
+        c = c.reshape(-1)[:n].reshape(height * width, spp).mean(axis=1)
+        return c.reshape(height, width)
+
+    img = jnp.stack(
+        [finish(r), finish(g), finish(b), jnp.ones((height, width), jnp.float32)],
+        axis=-1,
+    )
+    return img

@@ -159,3 +159,37 @@ def test_gtr1_log2_flag():
     assert verbatim != fixed
     np.testing.assert_allclose(verbatim, O.gtr1(ndoth, a, True), rtol=1e-12)
     np.testing.assert_allclose(fixed, O.gtr1(ndoth, a, False), rtol=1e-12)
+
+
+def test_grazing_incidence_no_nan():
+    """Regression: exactly-tangent hits (dot(n, v) == 0 after f32 rounding)
+    drove 0/0 NaN through the lobe denominators 4*l.z*v.z / v.z (observed
+    ~1 per 10^7 paths on TPU). The physical limit is f = 0 (Smith G
+    vanishes at grazing)."""
+    f32 = jnp.float32
+    n = v3(0.5915424, 0.58934027, 0.5502324, dtype=f32)
+    rd = v3(0.5573823, 0.19419432, -0.8072258, dtype=f32)
+    v = -rd
+    assert float(n.dot(v)) == 0.0  # exactly grazing in f32
+
+    for mat_kw in (
+        dict(clearcoat=1.0, roughness=0.1, rgb=V3(*map(jnp.asarray, (1.0, 0.186, 0.0)))),
+        dict(metallic=1.0, roughness=0.05),
+        dict(spec_trans=1.0, roughness=0.2),
+        dict(),
+    ):
+        m = finalize_material(default_material((), jnp.float32)._replace(**{
+            k: (v_ if isinstance(v_, V3) else jnp.asarray(v_, jnp.float32))
+            for k, v_ in mat_kw.items()
+        }))
+        eta = jnp.asarray(1.45, jnp.float32)
+        for u in ((0.27, 0.37, 0.72), (0.99, 0.99, 0.01), (0.0, 0.0, 0.5)):
+            bs = B.disney_sample(
+                m, eta, v, n, v3(0.0, 0.0, 0.0),
+                jnp.asarray(u, jnp.float32),
+            )
+            assert np.isfinite(np.asarray(bs.f.x)).all()
+            assert np.isfinite(np.asarray(bs.pdf)).all()
+            f, pdf = B.disney_eval(m, eta, v, n, bs.l)
+            assert np.isfinite(np.asarray(f.x)).all()
+            assert np.isfinite(np.asarray(pdf)).all()

@@ -1,0 +1,81 @@
+"""Pallas megakernel validation (ops/megakernel.py).
+
+Runs in Pallas interpret mode on CPU (the TPU lowering is exercised by
+bench.py / the driver on real hardware). The hbm-uniforms mode consumes the
+exact threefry stream of the XLA integrator, so the kernel is checked
+allclose against integrator.tracer.render_frame, which is itself validated
+against the f64 CPU oracle (test_oracle_parity.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pathtracer_tpu as pt
+from pathtracer_tpu.integrator.tracer import render_frame
+from pathtracer_tpu.ops.megakernel import pack_scene, render_frame_pallas
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return pt.make_analytical_scene()
+
+
+def test_hbm_parity_vs_xla(scene):
+    """Bitwise-same sampling decisions => image parity to f32 reassociation
+    noise (isolated knife-edge pixels may flip a discrete branch, so compare
+    via quantile rather than max)."""
+    key = jax.random.PRNGKey(3)
+    w, h = 64, 48
+    ref = np.asarray(render_frame(scene, key, w, h, spp=1))
+    img = np.asarray(
+        render_frame_pallas(
+            scene, key, w, h, spp=1, uniforms="hbm", tile_rows=8, interpret=True
+        )
+    )
+    diff = np.abs(ref - img)
+    assert np.isfinite(img).all()
+    assert np.quantile(diff, 0.999) < 1e-4
+    assert diff.mean() < 1e-5
+
+
+def test_hbm_parity_multi_spp(scene):
+    key = jax.random.PRNGKey(11)
+    w, h = 32, 24
+    img = np.asarray(
+        render_frame_pallas(
+            scene, key, w, h, spp=4, uniforms="hbm", tile_rows=8, interpret=True
+        )
+    )
+    assert img.shape == (h, w, 4)
+    assert np.isfinite(img).all()
+    assert (img[..., 3] == 1.0).all()
+    # spp-mean must sit between per-sample extremes: render spp=1 with the
+    # same key gives sample 0's pixel values scattered by the lane->pid map,
+    # so instead check the estimator is unbiased against an XLA mean.
+    ref = np.asarray(render_frame(scene, key, w, h, spp=4))
+    assert np.abs(img.mean() - ref.mean()) < 0.05
+
+
+def test_pack_scene_roundtrip(scene):
+    sp = pack_scene(scene, 64, 48)
+    assert sp.ndim == 2 and sp.shape[0] == 1
+    assert np.isfinite(np.asarray(sp)).all()
+
+
+def test_inkernel_rng_mode(scene):
+    """TPU-PRNG mode in interpret mode (skipped if the interpreter lacks
+    pltpu.prng_* support)."""
+    key = jax.random.PRNGKey(0)
+    try:
+        img = np.asarray(
+            render_frame_pallas(
+                scene, key, 32, 24, spp=1, uniforms="inkernel", tile_rows=8,
+                interpret=True,
+            )
+        )
+    except Exception as e:  # pragma: no cover - interpreter capability gate
+        pytest.skip(f"pltpu PRNG unsupported in interpret mode: {e}")
+    assert img.shape == (24, 32, 4)
+    assert np.isfinite(img).all()
