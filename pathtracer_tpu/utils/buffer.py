@@ -55,7 +55,8 @@ def to_u8(pixels) -> np.ndarray:
     out = np.empty_like(a)
     out[..., :3] = np.power(np.maximum(a[..., :3], 0.0), 0.4545) * 255.0
     out[..., 3] = a[..., 3] * 255.0
-    return np.clip(out, 0.0, 255.0).astype(np.uint8)
+    # NaN -> 0 like Rust's saturating `as u8` cast (buffer.rs:46-50).
+    return np.clip(np.nan_to_num(out), 0.0, 255.0).astype(np.uint8)
 
 
 def blit_u8(
