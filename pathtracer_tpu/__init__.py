@@ -24,6 +24,9 @@ from .integrator.tracer import (
     direct_light,
     draw_uniforms,
     render_frame,
+    sample_light,
+    sample_light_distant,
+    sample_light_rect,
     sample_light_spherical,
     sample_lights_emitter,
     trace,
@@ -46,7 +49,9 @@ from .models.light import (
     Lights,
     LightType,
     concat_lights,
+    distant_light,
     gather_light,
+    rect_light,
     spherical_light,
 )
 from .models.material import (

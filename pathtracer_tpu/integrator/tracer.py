@@ -36,7 +36,7 @@ from ..models.light import Lights, gather_light
 from ..models.material import Material, finalize_material
 from ..models.scene import Scene
 from ..ops.bsdf import disney_eval, disney_sample
-from ..ops.intersect import ray_sphere
+from ..ops.intersect import ray_rect, ray_sphere
 from ..ops.sampling import power_heuristic, uniform_sample_hemisphere
 from ..ops.vecmath import (
     V2,
@@ -90,11 +90,13 @@ class EmitterHit(NamedTuple):
 
 
 def sample_lights_emitter(lights: Lights, ro: V3, rd: V3, gate_dist) -> EmitterHit:
-    """Ray-vs-light-sphere emitter intersection (scene.rs:36-86).
+    """Ray-vs-light emitter intersection (scene.rs:36-86).
 
     Sequential `d < dist` semantics over the light list are reproduced by a
-    static unroll (L is small). Only Spherical lights participate
-    (scene.rs:69).
+    static unroll (L is small). The reference implements only Spherical
+    here (scene.rs:69); Rectangular is added following the GLSL original's
+    RectIntersect path (pdf = d^2/(area*|cos|), no 0.5 hemisphere factor).
+    Distant lights are never hittable (area = 0).
     """
     n = jnp.shape(rd.x)
     dtype = jnp.asarray(rd.x).dtype
@@ -106,15 +108,30 @@ def sample_lights_emitter(lights: Lights, ro: V3, rd: V3, gate_dist) -> EmitterH
     for i in range(lights.count):
         pos = V3(lights.position.x[i], lights.position.y[i], lights.position.z[i])
         is_spherical = lights.light_type[i] == 1  # LightType.SPHERICAL
-        d = ray_sphere(ro, rd, pos, lights.radius[i])
-        take = jnp.isfinite(d) & (d < dist) & is_spherical
+        is_rect = lights.light_type[i] == 0  # LightType.RECTANGULAR
+
+        # Spherical candidate (scene.rs:38-63).
+        d_s = ray_sphere(ro, rd, pos, lights.radius[i])
+        # Rectangular candidate (GLSL RectIntersect).
+        u_i = V3(lights.u.x[i], lights.u.y[i], lights.u.z[i])
+        v_i = V3(lights.v.x[i], lights.v.y[i], lights.v.z[i])
+        d_r = ray_rect(ro, rd, pos, u_i, v_i)
+
+        d = jnp.where(is_spherical, d_s, jnp.where(is_rect, d_r, jnp.inf))
+        take = jnp.isfinite(d) & (d < dist) & (is_spherical | is_rect)
         # d is +inf on miss; square only a guarded copy — the backward of
         # d*d is cot * 2d, and 0-cotangent * inf = NaN would leak into
         # sphere/light geometry gradients through ray_sphere's VJP.
         d_safe = jnp.where(take, d, 1.0)
         hit_point = ro + rd * jnp.where(take, d_safe, 0.0)
-        cos_theta = dot(-rd, safe_normalize(hit_point - pos))
-        denom = lights.area[i] * cos_theta * 0.5
+        sph_normal = safe_normalize(hit_point - pos)
+        rect_normal = safe_normalize(u_i.cross(v_i))
+        normal = where3(is_spherical, sph_normal, rect_normal)
+        cos_theta = dot(-rd, normal)
+        # Spherical pdf has the 0.5 hemisphere factor (scene.rs:74);
+        # rectangular is plain d^2/(area*cos).
+        half = jnp.where(is_spherical, 0.5, 1.0)
+        denom = lights.area[i] * cos_theta * half
         pdf_i = (d_safe * d_safe) / jnp.where(denom != 0.0, denom, 1.0)
         dist = jnp.where(take, d_safe, dist)
         pdf = jnp.where(take, pdf_i, pdf)
@@ -180,6 +197,85 @@ def sample_light_spherical(
     )
 
 
+def sample_light_rect(
+    lights: Lights, idx: jnp.ndarray, scatter_pos: V3, r1, r2,
+    detach: bool = False,
+) -> LightSample:
+    """Rectangular light surface sampling (GLSL SampleRectLight; the
+    reference declares LightType::Rectangular but never implements it,
+    globals.rs:70): uniform point on the quad, pdf = d^2/(area*|n.l|)."""
+    sg = jax.lax.stop_gradient if detach else (lambda x: x)
+    lt = gather_light(lights, idx)
+
+    light_surface = lt.position + lt.u * splat3(r1) + lt.v * splat3(r2)
+    direction = light_surface - scatter_pos
+    dist = direction.length()
+    dist_sq = dist * dist
+    direction = direction / splat3(jnp.where(dist > 0.0, dist, 1.0))
+    normal = safe_normalize(lt.u.cross(lt.v))
+
+    emission = lt.emission * float(lights.count)
+    denom = lt.area * jnp.abs(dot(normal, direction))
+    pdf = dist_sq / jnp.where(denom != 0.0, denom, 1.0)
+    return LightSample(
+        normal=sg(normal),
+        emission=emission,
+        direction=sg(direction),
+        dist=sg(dist),
+        pdf=sg(pdf),
+    )
+
+
+def sample_light_distant(
+    lights: Lights, idx: jnp.ndarray, scatter_pos: V3,
+    detach: bool = False,
+) -> LightSample:
+    """Distant light sampling (GLSL SampleDistantLight): fixed direction
+    (stored in `position`), dist = inf, pdf = 1. area = 0 keeps it out of
+    MIS (tracer.rs:157-160) and out of the emitter pass."""
+    sg = jax.lax.stop_gradient if detach else (lambda x: x)
+    lt = gather_light(lights, idx)
+    direction = safe_normalize(lt.position)
+    normal = safe_normalize(scatter_pos - lt.position)
+    emission = lt.emission * float(lights.count)
+    big = jnp.full_like(lt.area, jnp.inf)
+    return LightSample(
+        normal=sg(normal),
+        emission=emission,
+        direction=sg(direction),
+        dist=big,
+        pdf=jnp.ones_like(lt.area),
+    )
+
+
+def sample_light(
+    lights: Lights, idx: jnp.ndarray, scatter_pos: V3, r1, r2,
+    detach: bool = False,
+) -> LightSample:
+    """Type-dispatched light sampling (tracer.rs:173-220 `sample_light`):
+    all three candidates are cheap closed forms, selected per lane by the
+    picked light's type — the TPU-native replacement for the reference's
+    match on LightType."""
+    t = gather_light(lights, idx).light_type
+    sph = sample_light_spherical(lights, idx, scatter_pos, r1, r2, detach)
+    rect = sample_light_rect(lights, idx, scatter_pos, r1, r2, detach)
+    dst = sample_light_distant(lights, idx, scatter_pos, detach)
+
+    def pick(a, b, c):  # rect=0, spherical=1, distant=2
+        return jnp.where(t == 1, b, jnp.where(t == 0, a, c))
+
+    def pick3(a, b, c):
+        return V3(pick(a.x, b.x, c.x), pick(a.y, b.y, c.y), pick(a.z, b.z, c.z))
+
+    return LightSample(
+        normal=pick3(rect.normal, sph.normal, dst.normal),
+        emission=pick3(rect.emission, sph.emission, dst.emission),
+        direction=pick3(rect.direction, sph.direction, dst.direction),
+        dist=pick(rect.dist, sph.dist, dst.dist),
+        pdf=pick(rect.pdf, sph.pdf, dst.pdf),
+    )
+
+
 def direct_light(
     scene: Scene, rd: V3, fhp: V3, ffnormal: V3, material: Material, eta, u,
     detach: bool = False,
@@ -194,7 +290,7 @@ def direct_light(
     scatter_pos = fhp + ffnormal * EPS  # tracer.rs:131
 
     idx = jnp.clip((u_pick * n_lights).astype(jnp.int32), 0, n_lights - 1)
-    ls = sample_light_spherical(scene.lights, idx, scatter_pos, r1, r2, detach)
+    ls = sample_light(scene.lights, idx, scatter_pos, r1, r2, detach)
 
     # Single-sided gate (tracer.rs:148).
     facing = dot(ls.direction, ls.normal) < 0.0

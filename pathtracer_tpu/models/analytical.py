@@ -175,14 +175,20 @@ def make_scene(
     recursion_depth: int = 4,
     respect_max_dist: bool = False,
     params: AnalyticalParams | None = None,
+    lights=None,
 ) -> Scene:
     """Assemble the demo scene: 1 spherical light at (3,2,2), r=1,
     emission (3,3,3) (analytical.rs:15-16), Pinhole defaults
-    (pinhole.rs:14-25), recursion depth 4 (scene.rs:28-30)."""
+    (pinhole.rs:14-25), recursion depth 4 (scene.rs:28-30).
+
+    `lights` overrides the default light table (any mix of spherical /
+    rectangular / distant lights via models.light constructors)."""
     return Scene(
         params=params if params is not None else default_params(dtype),
         camera=default_pinhole(dtype),
-        lights=spherical_light((3.0, 2.0, 2.0), 1.0, (3.0, 3.0, 3.0), dtype=dtype),
+        lights=lights if lights is not None else spherical_light(
+            (3.0, 2.0, 2.0), 1.0, (3.0, 3.0, 3.0), dtype=dtype
+        ),
         background_fn=background,
         closest_hit_fn=closest_hit,
         any_hit_fn=any_hit_respecting_max_dist if respect_max_dist else any_hit,

@@ -19,8 +19,12 @@ from ..ops.vecmath import PI, V3, v3, zeros3
 
 
 class LightType:
-    """globals.rs:69-73. Only SPHERICAL is implemented by the reference
-    integrator (Readme.md:16); parity preserved."""
+    """globals.rs:69-73. The reference integrator implements only SPHERICAL
+    ("Only spherical analytical lights right now", Readme.md:16); this build
+    implements all three declared types, following the conventions of the
+    GLSL_PathTracer the reference is a port of (rect: uniform area sampling
+    with pdf d^2/(area*|n.l|); distant: fixed direction, dist = inf,
+    pdf = 1, never MIS-weighted since area = 0)."""
 
     RECTANGULAR = 0
     SPHERICAL = 1
@@ -58,6 +62,52 @@ def spherical_light(position, radius, emission, dtype=jnp.float32) -> Lights:
         v=zeros3((1,), dtype),
         radius=one(r),
         area=one(4.0 * PI * r * r),
+    )
+
+
+def _lift(w: V3) -> V3:
+    one = lambda a: jnp.asarray(a)[None] if jnp.ndim(a) == 0 else jnp.asarray(a)
+    return V3(one(w.x), one(w.y), one(w.z))
+
+
+def rect_light(position, u, v_edge, emission, dtype=jnp.float32) -> Lights:
+    """Rectangular area light spanned by edge vectors u, v from the corner
+    `position`; area = |u x v|, normal = normalize(u x v). Fills the
+    reference's declared-but-unimplemented LightType::Rectangular
+    (globals.rs:70, Readme.md:17 TODO "More light types")."""
+    pos = v3(*position, dtype=dtype) if not isinstance(position, V3) else position
+    uu = v3(*u, dtype=dtype) if not isinstance(u, V3) else u
+    vv = v3(*v_edge, dtype=dtype) if not isinstance(v_edge, V3) else v_edge
+    emi = v3(*emission, dtype=dtype) if not isinstance(emission, V3) else emission
+    area = uu.cross(vv).length()
+    one = lambda a: jnp.asarray(a, dtype)[None]
+    return Lights(
+        light_type=jnp.asarray([LightType.RECTANGULAR], jnp.int32),
+        position=_lift(pos),
+        emission=_lift(emi),
+        u=_lift(uu),
+        v=_lift(vv),
+        radius=one(0.0),
+        area=one(area),
+    )
+
+
+def distant_light(direction, emission, dtype=jnp.float32) -> Lights:
+    """Distant (directional) light: `direction` points FROM the shading
+    point TOWARD the light (stored in `position` like the GLSL original).
+    area = 0, so the integrator's `area > 0` MIS gate (tracer.rs:157-160)
+    gives it weight 1 and the emitter pass never intersects it."""
+    d = v3(*direction, dtype=dtype) if not isinstance(direction, V3) else direction
+    emi = v3(*emission, dtype=dtype) if not isinstance(emission, V3) else emission
+    one = lambda a: jnp.asarray(a, dtype)[None]
+    return Lights(
+        light_type=jnp.asarray([LightType.DISTANT], jnp.int32),
+        position=_lift(d),
+        emission=_lift(emi),
+        u=zeros3((1,), dtype),
+        v=zeros3((1,), dtype),
+        radius=one(0.0),
+        area=one(0.0),
     )
 
 

@@ -35,6 +35,33 @@ def ray_sphere(ro: V3, rd: V3, center: V3, radius) -> jnp.ndarray:
     return jnp.where(miss, MISS, t)
 
 
+def ray_rect(ro: V3, rd: V3, corner: V3, u: V3, v: V3) -> jnp.ndarray:
+    """Ray vs rectangle spanned by edges (u, v) from `corner`.
+
+    Supports the Rectangular light type the reference declares but never
+    implements (globals.rs:70); math follows the GLSL original's
+    RectIntersect: plane hit, then barycentric gates 0 <= a,b <= 1 on the
+    edge projections. Returns t >= 0 or +inf.
+    """
+    n = u.cross(v)
+    denom = dot(n, rd)
+    safe_denom = jnp.where(jnp.abs(denom) > 1e-8, denom, 1.0)
+    t = dot(corner - ro, n) / safe_denom
+    hp = ro + rd * t
+    rel = hp - corner
+    uu = dot(u, u)
+    vv = dot(v, v)
+    a = dot(rel, u) / jnp.where(uu > 0.0, uu, 1.0)
+    b = dot(rel, v) / jnp.where(vv > 0.0, vv, 1.0)
+    ok = (
+        (jnp.abs(denom) > 1e-8)
+        & (t >= 0.0)
+        & (a >= 0.0) & (a <= 1.0)
+        & (b >= 0.0) & (b <= 1.0)
+    )
+    return jnp.where(ok, t, MISS)
+
+
 def ray_plane(ro: V3, rd: V3, normal: V3, point: V3, eps: float = 0.0001) -> jnp.ndarray:
     """Ray-plane test, verbatim math (analytical.rs:193-204).
 

@@ -46,7 +46,7 @@ from ..models.analytical import AnalyticalParams
 from ..models.material import Material, default_material, finalize_material
 from ..models.scene import Scene
 from ..ops.bsdf import disney_eval, disney_sample
-from ..ops.intersect import ray_plane, ray_sphere
+from ..ops.intersect import ray_plane, ray_rect, ray_sphere
 from ..ops.sampling import power_heuristic, uniform_sample_hemisphere
 from ..ops.vecmath import (
     V3,
@@ -129,12 +129,15 @@ def pack_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
     # Sky (analytical.rs:28-32).
     vals += _v3_list(p.sky_horizon) + _v3_list(p.sky_zenith) + [p.sky_scale]
 
-    # Lights (globals.rs:75-84): L x [pos(3), emission(3), radius, area, type].
+    # Lights (globals.rs:75-84):
+    # L x [pos(3), emission(3), u(3), v(3), radius, area, type].
     L = scene.lights.count
     for i in range(L):
         lt = scene.lights
         vals += [lt.position.x[i], lt.position.y[i], lt.position.z[i]]
         vals += [lt.emission.x[i], lt.emission.y[i], lt.emission.z[i]]
+        vals += [lt.u.x[i], lt.u.y[i], lt.u.z[i]]
+        vals += [lt.v.x[i], lt.v.y[i], lt.v.z[i]]
         vals += [lt.radius[i], lt.area[i], lt.light_type[i].astype(f32)]
 
     # Material table [M] (material.rs:48-78).
@@ -183,6 +186,8 @@ class _SceneScalars:
                 dict(
                     position=V3(get(), get(), get()),
                     emission=V3(get(), get(), get()),
+                    u=V3(get(), get(), get()),
+                    v=V3(get(), get(), get()),
                     radius=get(),
                     area=get(),
                     light_type=get(),
@@ -294,7 +299,9 @@ def _any_hit(sc: _SceneScalars, ro: V3, rd: V3, max_dist):
 
 def _sample_lights_emitter(sc: _SceneScalars, ro: V3, rd: V3, gate_dist):
     """Emitter-intersection pass (scene.rs:36-86), statically unrolled over
-    the light list. Mirrors integrator.tracer.sample_lights_emitter."""
+    the light list. Mirrors integrator.tracer.sample_lights_emitter:
+    spherical verbatim, rectangular per the GLSL original, distant never
+    hittable."""
     shape = jnp.shape(rd.x)
     dist = gate_dist
     hit = jnp.zeros(shape, bool)
@@ -302,12 +309,19 @@ def _sample_lights_emitter(sc: _SceneScalars, ro: V3, rd: V3, gate_dist):
     emission = zeros3(shape, jnp.float32)
     for lt in sc.lights:
         is_spherical = lt["light_type"] == 1.0
-        d = ray_sphere(ro, rd, lt["position"], lt["radius"])
-        take = jnp.isfinite(d) & (d < dist) & is_spherical
+        is_rect = lt["light_type"] == 0.0
+        d_s = ray_sphere(ro, rd, lt["position"], lt["radius"])
+        d_r = ray_rect(ro, rd, lt["position"], lt["u"], lt["v"])
+        d = jnp.where(is_spherical, d_s, jnp.where(is_rect, d_r, jnp.inf))
+        take = jnp.isfinite(d) & (d < dist) & (is_spherical | is_rect)
         d_safe = jnp.where(take, d, 1.0)
         hit_point = ro + rd * jnp.where(take, d_safe, 0.0)
-        cos_theta = dot(-rd, safe_normalize(hit_point - lt["position"]))
-        denom = lt["area"] * cos_theta * 0.5
+        sph_n = safe_normalize(hit_point - lt["position"])
+        rect_n = safe_normalize(lt["u"].cross(lt["v"]))
+        normal = where3(is_spherical, sph_n, rect_n)
+        cos_theta = dot(-rd, normal)
+        half = jnp.where(is_spherical, 0.5, 1.0)
+        denom = lt["area"] * cos_theta * half
         pdf_i = (d_safe * d_safe) / jnp.where(denom != 0.0, denom, 1.0)
         dist = jnp.where(take, d_safe, dist)
         pdf = jnp.where(take, pdf_i, pdf)
@@ -331,7 +345,12 @@ def _direct_light(sc: _SceneScalars, rd: V3, fhp: V3, ffnormal: V3, material, et
     sampled = uniform_sample_hemisphere(r1, r2)
 
     def one(lt):
-        """sample_light (tracer.rs:173-220) for one light, all lanes."""
+        """Type-dispatched sample_light (tracer.rs:173-220 + GLSL rect /
+        distant variants) for one light, all lanes."""
+        is_sph = lt["light_type"] == 1.0
+        is_rect = lt["light_type"] == 0.0
+
+        # Spherical candidate (tracer.rs:176-216).
         center_to_surf = scatter_pos - lt["position"]
         dist_to_center = center_to_surf.length()
         axis = center_to_surf / splat3(
@@ -339,15 +358,33 @@ def _direct_light(sc: _SceneScalars, rd: V3, fhp: V3, ffnormal: V3, material, et
         )
         t, b = onb(axis)
         sampled_dir = to_world(t, b, axis, sampled)
-        light_surface = lt["position"] + sampled_dir * splat3(lt["radius"])
+        sph_surface = lt["position"] + sampled_dir * splat3(lt["radius"])
+        # Rect candidate (GLSL SampleRectLight).
+        rect_surface = lt["position"] + lt["u"] * splat3(r1) + lt["v"] * splat3(r2)
+
+        light_surface = where3(is_sph, sph_surface, rect_surface)
         direction = light_surface - scatter_pos
         dist = direction.length()
         dist_sq = dist * dist
         direction = direction / splat3(jnp.where(dist > 0.0, dist, 1.0))
-        normal = safe_normalize(light_surface - lt["position"])
-        emission = lt["emission"] * float(L)  # tracer.rs:214
-        denom = lt["area"] * 0.5 * jnp.abs(dot(normal, direction))
+        sph_n = safe_normalize(light_surface - lt["position"])
+        rect_n = safe_normalize(lt["u"].cross(lt["v"]))
+        normal = where3(is_sph, sph_n, rect_n)
+        half = jnp.where(is_sph, 0.5, 1.0)
+        denom = lt["area"] * half * jnp.abs(dot(normal, direction))
         pdf = dist_sq / jnp.where(denom != 0.0, denom, 1.0)
+
+        # Distant candidate (GLSL SampleDistantLight): direction stored in
+        # `position`, dist = inf, pdf = 1, area = 0 keeps MIS weight 1.
+        dst_dir = safe_normalize(lt["position"])
+        dst_n = safe_normalize(scatter_pos - lt["position"])
+        is_dst = (~is_sph) & (~is_rect)
+        direction = where3(is_dst, dst_dir, direction)
+        normal = where3(is_dst, dst_n, normal)
+        dist = jnp.where(is_dst, jnp.inf, dist)
+        pdf = jnp.where(is_dst, 1.0, pdf)
+
+        emission = lt["emission"] * float(L)  # tracer.rs:214
         return normal, emission, direction, dist, pdf, lt["area"]
 
     normal, emission, direction, dist, pdf, area = one(sc.lights[L - 1])

@@ -493,6 +493,25 @@ def ray_sphere(ro, rd, center, radius):
     return t0
 
 
+def ray_rect(ro, rd, corner, u, v_edge):
+    """Ray vs rectangle (GLSL RectIntersect; scalar mirror of
+    ops/intersect.ray_rect)."""
+    n = cross(u, v_edge)
+    denom = dot(n, rd)
+    if abs(denom) <= 1e-8:
+        return None
+    t = dot(corner - ro, n) / denom
+    if t < 0.0:
+        return None
+    rel = (ro + rd * t) - corner
+    uu, vv = dot(u, u), dot(v_edge, v_edge)
+    a = dot(rel, u) / (uu if uu > 0.0 else 1.0)
+    b = dot(rel, v_edge) / (vv if vv > 0.0 else 1.0)
+    if 0.0 <= a <= 1.0 and 0.0 <= b <= 1.0:
+        return t
+    return None
+
+
 def ray_plane(ro, rd, normal_, point):
     """analytical.rs:193-204."""
     denom = dot(normal_, rd)
@@ -531,10 +550,13 @@ class OracleScene:
         for i in range(int(np.asarray(lights.radius).shape[0])):
             self.lights.append(
                 dict(
+                    light_type=int(np.asarray(lights.light_type)[i]),
                     position=v(g(lights.position.x)[i], g(lights.position.y)[i],
                                g(lights.position.z)[i]),
                     emission=v(g(lights.emission.x)[i], g(lights.emission.y)[i],
                                g(lights.emission.z)[i]),
+                    u=v(g(lights.u.x)[i], g(lights.u.y)[i], g(lights.u.z)[i]),
+                    v=v(g(lights.v.x)[i], g(lights.v.y)[i], g(lights.v.z)[i]),
                     radius=float(g(lights.radius)[i]),
                     area=float(g(lights.area)[i]),
                 )
@@ -610,14 +632,28 @@ class OracleScene:
 
         # Scene::sample_lights default method (scene.rs:36-86): emitter pass
         # gated by the CURRENT state.hit_dist (stale across bounces).
+        # Spherical verbatim; Rectangular per the GLSL original
+        # (pdf d^2/(area*cos), no 0.5); Distant never hittable.
         ldist = state["hit_dist"]
         for light in self.lights:
-            d = ray_sphere(ro, rd, light["position"], light["radius"])
+            lt = light.get("light_type", 1)
+            if lt == 1:  # spherical
+                d = ray_sphere(ro, rd, light["position"], light["radius"])
+                half = 0.5
+                normal_fn = lambda hp, light=light: normalize(hp - light["position"])
+            elif lt == 0:  # rectangular
+                d = ray_rect(ro, rd, light["position"], light["u"], light["v"])
+                half = 1.0
+                normal_fn = lambda hp, light=light: normalize(
+                    cross(light["u"], light["v"])
+                )
+            else:  # distant
+                d = None
             if d is not None and d < ldist:
                 ldist = d
                 hit_point = ro + rd * d
-                cos_theta = dot(-rd, normalize(hit_point - light["position"]))
-                denom = light["area"] * cos_theta * 0.5
+                cos_theta = dot(-rd, normal_fn(hit_point))
+                denom = light["area"] * cos_theta * half
                 state["light_pdf"] = (d * d) / (denom if denom != 0.0 else 1.0)  # guard contract
                 state["light_emission"] = light["emission"].copy()
                 state["is_emitter"] = True
@@ -678,23 +714,44 @@ def direct_light(scene, rd, state, u_pick, r1, r2, respect_max_dist=False,
     scatter_pos = state["fhp"] + EPS * state["ffnormal"]
     index = min(int(u_pick * n_lights), n_lights - 1)
     light = scene.lights[index]
+    lt = light.get("light_type", 1)
 
-    # sample_light, Spherical (tracer.rs:173-220)
-    center_to_surf = scatter_pos - light["position"]
-    dist_to_center = length(center_to_surf)
-    sampled = uniform_sample_hemisphere(r1, r2)
-    axis = center_to_surf / (dist_to_center if dist_to_center > 0.0 else 1.0)
-    t, b = onb(axis)
-    sampled_dir = sampled[0] * t + sampled[1] * b + sampled[2] * axis
-    light_surface = light["position"] + light["radius"] * sampled_dir
-    direction = light_surface - scatter_pos
-    dist = length(direction)
-    dist_sq = dist * dist
-    direction = direction / (dist if dist > 0.0 else 1.0)
-    normal_ = normalize(light_surface - light["position"])
-    emission = float(n_lights) * light["emission"]
-    denom = light["area"] * 0.5 * abs(dot(normal_, direction))
-    pdf = dist_sq / (denom if denom != 0.0 else 1.0)  # guard contract
+    if lt == 1:
+        # sample_light, Spherical (tracer.rs:173-220)
+        center_to_surf = scatter_pos - light["position"]
+        dist_to_center = length(center_to_surf)
+        sampled = uniform_sample_hemisphere(r1, r2)
+        axis = center_to_surf / (dist_to_center if dist_to_center > 0.0 else 1.0)
+        t, b = onb(axis)
+        sampled_dir = sampled[0] * t + sampled[1] * b + sampled[2] * axis
+        light_surface = light["position"] + light["radius"] * sampled_dir
+        direction = light_surface - scatter_pos
+        dist = length(direction)
+        dist_sq = dist * dist
+        direction = direction / (dist if dist > 0.0 else 1.0)
+        normal_ = normalize(light_surface - light["position"])
+        emission = float(n_lights) * light["emission"]
+        denom = light["area"] * 0.5 * abs(dot(normal_, direction))
+        pdf = dist_sq / (denom if denom != 0.0 else 1.0)  # guard contract
+    elif lt == 0:
+        # Rectangular (GLSL SampleRectLight; scalar mirror of
+        # integrator.tracer.sample_light_rect)
+        light_surface = light["position"] + light["u"] * r1 + light["v"] * r2
+        direction = light_surface - scatter_pos
+        dist = length(direction)
+        dist_sq = dist * dist
+        direction = direction / (dist if dist > 0.0 else 1.0)
+        normal_ = normalize(cross(light["u"], light["v"]))
+        emission = float(n_lights) * light["emission"]
+        denom = light["area"] * abs(dot(normal_, direction))
+        pdf = dist_sq / (denom if denom != 0.0 else 1.0)  # guard contract
+    else:
+        # Distant (GLSL SampleDistantLight)
+        direction = normalize(light["position"])
+        normal_ = normalize(scatter_pos - light["position"])
+        emission = float(n_lights) * light["emission"]
+        dist = math.inf
+        pdf = 1.0
 
     if dot(direction, normal_) < 0.0:  # single-sided gate (tracer.rs:148)
         in_shadow = scene.any_hit(

@@ -79,3 +79,25 @@ def test_inkernel_rng_mode(scene):
         pytest.skip(f"pltpu PRNG unsupported in interpret mode: {e}")
     assert img.shape == (24, 32, 4)
     assert np.isfinite(img).all()
+
+
+def test_hbm_parity_mixed_light_types():
+    """Rect + distant + spherical lights through the kernel's type-dispatched
+    where-chains match the XLA integrator on the same threefry stream."""
+    lights = pt.concat_lights(
+        pt.spherical_light((3.0, 2.0, 2.0), 1.0, (3.0, 3.0, 3.0)),
+        pt.rect_light((-1.0, 4.0, -1.0), (2.0, 0.0, 0.0), (0.0, 0.0, 2.0), (4.0, 4.0, 4.0)),
+        pt.distant_light((0.3, 0.8, 0.5), (2.0, 2.0, 2.0)),
+    )
+    scene = pt.make_analytical_scene(lights=lights)
+    key = jax.random.PRNGKey(5)
+    w, h = 32, 24
+    ref = np.asarray(render_frame(scene, key, w, h, spp=1))
+    img = np.asarray(
+        render_frame_pallas(
+            scene, key, w, h, spp=1, uniforms="hbm", tile_rows=8, interpret=True
+        )
+    )
+    diff = np.abs(ref - img)
+    assert np.isfinite(img).all()
+    assert np.quantile(diff, 0.999) < 1e-4
