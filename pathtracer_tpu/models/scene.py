@@ -49,6 +49,14 @@ class Scene:
     camera/lights mirror scene.rs:19-25; recursion_depth the default-method
     (scene.rs:28-30). Emitter intersection (the sample_lights default method,
     scene.rs:36-86) lives in the integrator, generic over `lights`.
+
+    `procedural_fn(params, hit, ro, rd) -> Material` is the optional
+    post-hit material hook — the working realization of the reference's
+    dormant scriptable-material surface (Material.procedural rhai FnPtr,
+    material.rs:77, never invoked by its tracer): a pure JAX function of
+    the hit point/normal/incoming direction that rewrites the surface
+    material before finalize. Because it reads `params`, procedural
+    patterns are differentiable scene parameters like everything else.
     """
 
     params: Any
@@ -58,12 +66,20 @@ class Scene:
     closest_hit_fn: Callable = dataclasses.field(metadata=dict(static=True))
     any_hit_fn: Callable = dataclasses.field(metadata=dict(static=True))
     recursion_depth: int = dataclasses.field(default=4, metadata=dict(static=True))
+    procedural_fn: Callable | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def background(self, rd: V3) -> V3:
         return self.background_fn(self.params, rd)
 
     def closest_hit(self, ro: V3, rd: V3) -> SurfaceHit:
-        return self.closest_hit_fn(self.params, ro, rd)
+        hit = self.closest_hit_fn(self.params, ro, rd)
+        if self.procedural_fn is not None:
+            hit = hit._replace(
+                material=self.procedural_fn(self.params, hit, ro, rd)
+            )
+        return hit
 
     def any_hit(self, ro: V3, rd: V3, max_dist) -> jnp.ndarray:
         return self.any_hit_fn(self.params, ro, rd, max_dist)

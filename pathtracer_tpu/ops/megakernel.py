@@ -592,6 +592,12 @@ def render_frame_pallas(
     - "hbm": threefry uniforms identical to the XLA integrator's, for
       allclose validation against it.
     """
+    if scene.procedural_fn is not None:
+        raise NotImplementedError(
+            "procedural_fn hooks run in the XLA integrator "
+            "(integrator.tracer.render_frame); the megakernel is "
+            "specialized to the packed analytical scene"
+        )
     depth = scene.recursion_depth
     n = width * height * spp
     tile = tile_rows * LANES
