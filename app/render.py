@@ -32,7 +32,7 @@ from pathtracer_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from pathtracer_tpu.utils.config import RenderConfig
-from pathtracer_tpu.utils.image import save_render
+from pathtracer_tpu.utils.image import ansi_preview, save_render
 from pathtracer_tpu.utils.metrics import FrameMetrics, MetricsLog, Timer, trace_to
 
 
@@ -62,6 +62,12 @@ def main(argv=None) -> int:
     ap.add_argument("--ckpt-every", type=int, default=8)
     ap.add_argument("--metrics", default=None, help="write per-frame metrics jsonl")
     ap.add_argument("--profile", default=None, help="jax.profiler trace directory")
+    ap.add_argument(
+        "--preview",
+        action="store_true",
+        help="live ANSI progressive view in the terminal (the reference's "
+        "windowed viewer, headless)",
+    )
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -107,6 +113,11 @@ def main(argv=None) -> int:
             buf = ColorBuffer(pixels=pixels, frames=frames)
             ms = t.stop()
             log.record(FrameMetrics(cfg.width, cfg.height, cfg.spp, cfg.depth, ms))
+            if args.preview:
+                # Home the cursor and repaint in place: progressive
+                # refinement on a terminal instead of a window.
+                sys.stdout.write("\x1b[H\x1b[2J" if f == start_frame else "\x1b[H")
+                sys.stdout.write(ansi_preview(buf.pixels) + "\n")
             print(f"frame {f + 1}/{cfg.frames}  {ms:8.1f} ms")
 
             if args.ckpt_dir and (f + 1) % args.ckpt_every == 0:

@@ -74,6 +74,42 @@ def save_render(path: str, pixels, gamma: bool = True) -> None:
     write_png(path, u8)
 
 
+def ansi_preview(pixels, max_cols: int = 100, gamma: bool = True) -> str:
+    """Render a linear [H, W, 3|4] buffer as a 24-bit-color ANSI string.
+
+    The live-progressive-view counterpart of the reference's windowed
+    viewer (renderer/src/main.rs:113-131) for headless TPU hosts: each
+    character cell shows two vertical pixels via the upper-half-block
+    glyph (fg = top pixel, bg = bottom pixel). Box-filter downsampled to
+    at most `max_cols` columns.
+    """
+    a = np.asarray(pixels, np.float64)[..., :3]
+    if gamma:
+        a = np.power(np.maximum(a, 0.0), 0.4545)
+    a = np.clip(np.nan_to_num(a) * 255.0, 0.0, 255.0)
+    h, w = a.shape[:2]
+    cols = min(max_cols, w)
+    # terminal cells are ~2:1 tall; half-blocks give 2 subpixels per cell
+    sx = max(1, w // cols)
+    sy = sx
+    hh, ww = (h // (2 * sy)) * 2 * sy, (w // sx) * sx
+    if hh == 0 or ww == 0:
+        return ""
+    ds = a[:hh, :ww].reshape(hh // sy, sy, ww // sx, sx, 3).mean(axis=(1, 3))
+    ds = ds.astype(np.int32)
+    lines = []
+    for y in range(0, ds.shape[0] - 1, 2):
+        cells = []
+        for x in range(ds.shape[1]):
+            tr, tg, tb = ds[y, x]
+            br, bg_, bb = ds[y + 1, x]
+            cells.append(
+                f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg_};{bb}m▀"
+            )
+        lines.append("".join(cells) + "\x1b[0m")
+    return "\n".join(lines)
+
+
 def read_png(path: str) -> np.ndarray:
     """Minimal PNG reader for round-trip tests (8-bit RGB/RGBA, no
     interlace)."""
