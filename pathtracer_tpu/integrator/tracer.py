@@ -53,8 +53,8 @@ from ..ops.vecmath import (
 EPS = 0.005  # tracer.rs:16
 
 # Uniforms consumed per bounce: [light pick, light r1, light r2,
-# bsdf r1, bsdf r2, reflect/refract coin].
-U_PER_BOUNCE = 6
+# bsdf r1, bsdf r2, reflect/refract coin, alpha coin].
+U_PER_BOUNCE = 7
 
 
 @dataclasses.dataclass(frozen=True)
@@ -379,8 +379,25 @@ def make_bounce_step(
             dot(rd, geo.normal) < 0.0, 1.0 / material.ior, material.ior
         )
 
+        # Alpha pass-through (AlphaMode Blend/Mask, material.rs:38-44 —
+        # declared in the reference but never wired to its integrator;
+        # implemented here per the GLSL original's semantics): a Blend
+        # surface is skipped stochastically when the alpha coin exceeds
+        # opacity, a Mask surface deterministically when opacity <
+        # alpha_cutoff. Skipped lanes re-emit the SAME ray from the hit
+        # point, collect nothing, and consume the bounce (fixed trip
+        # count). Emitter hits are lights, never alpha-tested.
+        u_alpha = u_bounce[..., 6]
+        am = material.alpha_mode
+        alpha_fail = ((am == 1) & (u_alpha > material.opacity)) | (
+            (am == 2) & (material.opacity < material.alpha_cutoff)
+        )
+        passthru = alive & hit & ~em.hit & alpha_fail
+
         # Surface emission (tracer.rs:74).
-        radiance = radiance + _mask3(alive & hit, material.emission * throughput)
+        radiance = radiance + _mask3(
+            alive & hit & ~passthru, material.emission * throughput
+        )
 
         # Emitter hit: MIS with the previous bounce's scatter pdf
         # (tracer.rs:77-87). With quirks.primary_mis the weight is
@@ -397,28 +414,33 @@ def make_bounce_step(
         )
 
         live = alive & hit & ~em.hit
+        shade = live & ~passthru
 
         # NEE (tracer.rs:89).
         ld = direct_light(
             scene, rd, fhp, ffnormal, material, eta, u_bounce[..., 0:3], detach
         )
-        radiance = radiance + _mask3(live, ld * throughput)
+        radiance = radiance + _mask3(shade, ld * throughput)
 
         # BSDF sampling (tracer.rs:92-101).
         bs = disney_sample(
             material, eta, -rd, ffnormal, state.prev_l, u_bounce[..., 3:6], detach
         )
-        cont = live & (bs.pdf > 0.0)
+        cont = shade & (bs.pdf > 0.0)
         safe_pdf = jnp.where(bs.pdf > 0.0, bs.pdf, 1.0)
         throughput = where3(cont, throughput * bs.f / splat3(safe_pdf), throughput)
 
         ro_next = where3(cont, fhp + bs.l * EPS, ro)
         rd_next = where3(cont, bs.l, rd)
+        # Alpha skip: continue straight through the surface.
+        ro_next = where3(passthru, fhp + rd * EPS, ro_next)
+        rd_next = where3(passthru, rd, rd_next)
+        cont = cont | passthru
 
         # scatter_sample.{l, pdf} update verbatim: written whenever
-        # disney_sample ran, i.e. on `live` lanes (tracer.rs:92).
-        prev_pdf = jnp.where(live, bs.pdf, state.prev_pdf)
-        prev_l = where3(live, bs.l, state.prev_l)
+        # disney_sample ran, i.e. on shaded lanes (tracer.rs:92).
+        prev_pdf = jnp.where(shade, bs.pdf, state.prev_pdf)
+        prev_l = where3(shade, bs.l, state.prev_l)
         # state.hit_dist persists; closest_hit only ran on alive lanes.
         prev_hit_dist = jnp.where(alive & hit, hit_dist, state.prev_hit_dist)
 

@@ -69,7 +69,7 @@ LANES = 128  # TPU vector lane width; tiles are (tile_rows, 128) rays.
 
 _MAT_FIELDS = (
     # (field, arity) — the Material fields the integrator consumes
-    # (material.rs:48-78; alpha/medium are declared-but-unused, parity).
+    # (material.rs:48-78; medium is declared-but-unused, parity).
     ("rgb", 3),
     ("anisotropic", 1),
     ("emission", 3),
@@ -83,8 +83,11 @@ _MAT_FIELDS = (
     ("clearcoat_gloss", 1),
     ("spec_trans", 1),
     ("ior", 1),
+    ("opacity", 1),
+    ("alpha_mode", 1),  # packed as f32, cast back to i32 in-kernel
+    ("alpha_cutoff", 1),
 )
-_MAT_STRIDE = sum(a for _, a in _MAT_FIELDS)  # 16
+_MAT_STRIDE = sum(a for _, a in _MAT_FIELDS)  # 19
 
 
 def _v3_list(v: V3):
@@ -147,6 +150,8 @@ def pack_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
             leaf = getattr(p.materials, name)
             if arity == 3:
                 vals += [leaf.x[i], leaf.y[i], leaf.z[i]]
+            elif name == "alpha_mode":
+                vals.append(leaf[i].astype(f32))
             else:
                 vals.append(leaf[i])
 
@@ -237,6 +242,7 @@ def _pick_material(sc: _SceneScalars, idx, shape) -> Material:
 
     base = default_material(shape, jnp.float32)
     fields = {name: chain(name, arity) for name, arity in _MAT_FIELDS}
+    fields["alpha_mode"] = fields["alpha_mode"].astype(jnp.int32)
     return base._replace(**fields)
 
 
@@ -528,7 +534,17 @@ def _make_kernel(
             ffnormal = where3(entering, normal, -normal)
             eta = jnp.where(dot(rd, normal) < 0.0, 1.0 / material.ior, material.ior)
 
-            radiance = radiance + _mask3(alive & hit, material.emission * throughput)
+            # Alpha pass-through (mirrors integrator.tracer: Blend
+            # stochastic coin u6[6], Mask deterministic cutoff).
+            am = material.alpha_mode
+            alpha_fail = ((am == 1) & (u6[6] > material.opacity)) | (
+                (am == 2) & (material.opacity < material.alpha_cutoff)
+            )
+            passthru = alive & hit & ~em_hit & alpha_fail
+
+            radiance = radiance + _mask3(
+                alive & hit & ~passthru, material.emission * throughput
+            )
 
             mis_w = power_heuristic(jnp.maximum(prev_pdf, 0.0), em_pdf)
             if not quirks.primary_mis:
@@ -538,21 +554,24 @@ def _make_kernel(
             )
 
             live = alive & hit & ~em_hit
+            shade = live & ~passthru
 
             ld = _direct_light(sc, rd, fhp, ffnormal, material, eta, u6[0:3])
-            radiance = radiance + _mask3(live, ld * throughput)
+            radiance = radiance + _mask3(shade, ld * throughput)
 
             bs = disney_sample(material, eta, -rd, ffnormal, prev_l, tuple(u6[3:6]))
-            cont = live & (bs.pdf > 0.0)
+            cont = shade & (bs.pdf > 0.0)
             safe_pdf = jnp.where(bs.pdf > 0.0, bs.pdf, 1.0)
             throughput = where3(cont, throughput * bs.f / splat3(safe_pdf), throughput)
 
-            ro = where3(cont, fhp + bs.l * EPS, ro)
-            rd = where3(cont, bs.l, rd)
-            prev_pdf = jnp.where(live, bs.pdf, prev_pdf)
-            prev_l = where3(live, bs.l, prev_l)
+            ro_next = where3(cont, fhp + bs.l * EPS, ro)
+            rd_next = where3(cont, bs.l, rd)
+            ro = where3(passthru, fhp + rd * EPS, ro_next)
+            rd = where3(passthru, rd, rd_next)
+            prev_pdf = jnp.where(shade, bs.pdf, prev_pdf)
+            prev_l = where3(shade, bs.l, prev_l)
             prev_hit_dist = jnp.where(alive & hit, hit_dist, prev_hit_dist)
-            alive = cont
+            alive = cont | passthru
 
         r_ref[:] = radiance.x
         g_ref[:] = radiance.y

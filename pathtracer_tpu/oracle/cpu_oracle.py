@@ -128,6 +128,9 @@ def material_new():
         clearcoat_roughness=0.0,
         spec_trans=0.0,
         ior=1.45,
+        opacity=1.0,
+        alpha_mode=0,  # AlphaMode::Opaque (material.rs:38-44)
+        alpha_cutoff=0.0,
         ax=0.0,
         ay=0.0,
     )
@@ -577,9 +580,10 @@ class OracleScene:
         for k in (
             "anisotropic", "metallic", "roughness", "subsurface", "specular_tint",
             "sheen", "sheen_tint", "clearcoat", "clearcoat_gloss", "spec_trans",
-            "ior",
+            "ior", "opacity", "alpha_cutoff",
         ):
             m[k] = float(g(getattr(t, k))[idx])
+        m["alpha_mode"] = int(np.asarray(t.alpha_mode)[idx])
         return m
 
     def background(self, rd):
@@ -776,7 +780,7 @@ def render(
     width: int,
     height: int,
     cam_uniforms: np.ndarray,  # [N, 2]
-    bounce_uniforms: np.ndarray,  # [depth, N, 6]
+    bounce_uniforms: np.ndarray,  # [depth, N, U_PER_BOUNCE=7]
     stale_emitter_gate: bool = True,
     primary_mis: bool = True,
     respect_max_dist: bool = False,
@@ -840,6 +844,21 @@ def render(
                     if dot(rd, state["normal"]) < 0.0
                     else state["material"]["ior"]
                 )
+
+                # Alpha pass-through (Blend stochastic / Mask deterministic;
+                # mirrors integrator.tracer's extension of the reference's
+                # declared-but-unused AlphaMode, material.rs:38-44): skip
+                # the surface, re-emit the same ray, consume the bounce.
+                mat_a = state["material"]
+                if not state["is_emitter"] and (
+                    (mat_a["alpha_mode"] == 1 and u6[6] > mat_a["opacity"])
+                    or (
+                        mat_a["alpha_mode"] == 2
+                        and mat_a["opacity"] < mat_a["alpha_cutoff"]
+                    )
+                ):
+                    ro = state["fhp"] + EPS * rd
+                    continue
 
                 radiance = radiance + state["material"]["emission"] * throughput
 
