@@ -325,6 +325,14 @@ class PathState(NamedTuple):
     prev_pdf: jnp.ndarray  # scatter_sample.pdf of previous bounce
     prev_l: V3  # scatter_sample.l of previous bounce (stale-l quirk)
     prev_hit_dist: jnp.ndarray  # state.hit_dist carry (stale gate quirk)
+    # Volumetric medium the ray currently travels in (State.medium,
+    # globals.rs:21/37 — declared in the reference, never integrated;
+    # implemented here per the GLSL original: Absorb = Beer-Lambert
+    # extinction exp(-(1-color)·density·t), Emissive = color·density·t
+    # added along the segment). med_type 0 (None) = vacuum.
+    med_type: jnp.ndarray  # int32
+    med_density: jnp.ndarray
+    med_color: V3
 
 
 def _mask3(mask, v: V3) -> V3:
@@ -365,6 +373,29 @@ def make_bounce_step(
 
         hit = geo_hit | em.hit
         hit_dist = jnp.where(em.hit, em.dist, gate_dist)
+
+        # Volumetric segment effects (the reference's State.medium,
+        # globals.rs:21, declared but never integrated; GLSL-original
+        # semantics): while traveling inside a participating medium,
+        # Absorb applies Beer-Lambert extinction exp(-(1-color)·density·t)
+        # over the segment just traveled and Emissive adds
+        # color·density·t·throughput. Scatter media are not yet
+        # implemented (treated as vacuum; see models/material.py).
+        seg = jnp.where(hit, hit_dist, 0.0)
+        seg_on = alive & hit & (state.med_type != 0)
+        absorbing = seg_on & (state.med_type == 1)  # MediumType.ABSORB
+        emitting = seg_on & (state.med_type == 3)  # MediumType.EMISSIVE
+        ext = splat3(state.med_density * seg)
+        att = V3(
+            jnp.exp(-(1.0 - state.med_color.x) * ext.x),
+            jnp.exp(-(1.0 - state.med_color.y) * ext.y),
+            jnp.exp(-(1.0 - state.med_color.z) * ext.z),
+        )
+        radiance = radiance + _mask3(
+            emitting,
+            state.med_color * splat3(state.med_density * seg) * throughput,
+        )
+        throughput = where3(absorbing, throughput * att, throughput)
 
         # Miss -> background * throughput, path dies (tracer.rs:66-69).
         bg = scene.background(rd)
@@ -444,6 +475,25 @@ def make_bounce_step(
         # state.hit_dist persists; closest_hit only ran on alive lanes.
         prev_hit_dist = jnp.where(alive & hit, hit_dist, state.prev_hit_dist)
 
+        # Medium transition on refraction through the surface (GLSL
+        # original: entering a front face adopts the hit material's
+        # medium, exiting returns to vacuum). Alpha pass-through ignores
+        # the surface entirely, media included.
+        transmitted = shade & cont & (dot(bs.l, ffnormal) < 0.0)
+        enter_m = transmitted & entering
+        exit_m = transmitted & ~entering
+        mmed = material.medium
+        med_type = jnp.where(
+            enter_m, mmed.medium_type, jnp.where(exit_m, 0, state.med_type)
+        )
+        med_density = jnp.where(
+            enter_m, mmed.density, jnp.where(exit_m, 0.0, state.med_density)
+        )
+        zero3 = zeros3(jnp.shape(bs.pdf), jnp.asarray(bs.pdf).dtype)
+        med_color = where3(
+            enter_m, mmed.color, where3(exit_m, zero3, state.med_color)
+        )
+
         return (
             PathState(
                 ro=ro_next,
@@ -454,6 +504,9 @@ def make_bounce_step(
                 prev_pdf=prev_pdf,
                 prev_l=prev_l,
                 prev_hit_dist=prev_hit_dist,
+                med_type=med_type,
+                med_density=med_density,
+                med_color=med_color,
             ),
             None,
         )
@@ -496,6 +549,9 @@ def trace(
         prev_pdf=prev_pdf0,
         prev_l=zeros3(n, dtype),  # ScatterSampleRec::new (globals.rs:97-103)
         prev_hit_dist=jnp.full(n, -1.0, dtype),  # State::new (globals.rs:28)
+        med_type=jnp.zeros(n, jnp.int32),  # vacuum (MediumType::None)
+        med_density=jnp.zeros(n, dtype),
+        med_color=zeros3(n, dtype),
     )
     bounce = make_bounce_step(scene, quirks, detach)
     if remat:

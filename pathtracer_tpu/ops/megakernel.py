@@ -580,18 +580,6 @@ def _make_kernel(
     return body
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "width",
-        "height",
-        "spp",
-        "quirks",
-        "tile_rows",
-        "uniforms",
-        "interpret",
-    ),
-)
 def render_frame_pallas(
     scene: Scene,
     key,
@@ -617,6 +605,51 @@ def render_frame_pallas(
             "(integrator.tracer.render_frame); the megakernel is "
             "specialized to the packed analytical scene"
         )
+    try:
+        # Participating media run in the XLA integrator; reject eagerly
+        # when the scene is concrete (inside an outer jit the leaves are
+        # tracers and the check is skipped).
+        import numpy as _np
+
+        if bool((_np.asarray(scene.params.materials.medium.medium_type) != 0).any()):
+            raise NotImplementedError(
+                "volumetric media (MediumType != None) are handled by "
+                "integrator.tracer.render_frame, not the megakernel"
+            )
+    except NotImplementedError:
+        raise
+    except Exception:
+        pass
+    return _render_frame_pallas(
+        scene, key, width, height,
+        spp=spp, quirks=quirks, tile_rows=tile_rows, uniforms=uniforms,
+        interpret=interpret,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "spp",
+        "quirks",
+        "tile_rows",
+        "uniforms",
+        "interpret",
+    ),
+)
+def _render_frame_pallas(
+    scene: Scene,
+    key,
+    width: int,
+    height: int,
+    spp: int = 1,
+    quirks: Quirks = VERBATIM,
+    tile_rows: int = 16,
+    uniforms: str = "inkernel",
+    interpret: bool = False,
+) -> jnp.ndarray:
     depth = scene.recursion_depth
     n = width * height * spp
     tile = tile_rows * LANES

@@ -131,6 +131,10 @@ def material_new():
         opacity=1.0,
         alpha_mode=0,  # AlphaMode::Opaque (material.rs:38-44)
         alpha_cutoff=0.0,
+        # Medium::new (material.rs:26-33)
+        medium_type=0,
+        medium_density=0.0,
+        medium_color=v(0.0, 0.0, 0.0),
         ax=0.0,
         ay=0.0,
     )
@@ -584,6 +588,13 @@ class OracleScene:
         ):
             m[k] = float(g(getattr(t, k))[idx])
         m["alpha_mode"] = int(np.asarray(t.alpha_mode)[idx])
+        m["medium_type"] = int(np.asarray(t.medium.medium_type)[idx])
+        m["medium_density"] = float(g(t.medium.density)[idx])
+        m["medium_color"] = v(
+            g(t.medium.color.x)[idx],
+            g(t.medium.color.y)[idx],
+            g(t.medium.color.z)[idx],
+        )
         return m
 
     def background(self, rd):
@@ -818,6 +829,9 @@ def render(
             )
             prev_pdf = 0.0  # ScatterSampleRec::new
             prev_l = v(0.0, 0.0, 0.0)
+            # Current participating medium (vacuum = type 0); mirrors
+            # integrator.tracer's PathState.med_* extension.
+            med_type, med_density, med_color = 0, 0.0, v(0.0, 0.0, 0.0)
 
             for bounce in range(scene.recursion_depth):
                 u6 = bounce_uniforms[bounce, i]
@@ -827,6 +841,19 @@ def render(
                     state["hit_dist"] = np.inf
 
                 hit = scene.closest_hit(ro, rd, state)
+
+                # Volumetric segment effects (mirrors integrator.tracer:
+                # Absorb = Beer-Lambert, Emissive = color·density·t).
+                if hit and med_type != 0:
+                    seg = state["hit_dist"]
+                    if med_type == 3:  # Emissive
+                        radiance = radiance + (
+                            med_color * (med_density * seg) * throughput
+                        )
+                    if med_type == 1:  # Absorb
+                        throughput = throughput * np.exp(
+                            -(1.0 - med_color) * (med_density * seg)
+                        )
 
                 if not hit:
                     radiance = radiance + scene.background(rd) * throughput
@@ -887,6 +914,19 @@ def render(
                     throughput = throughput * (f / pdf)
                 else:
                     break
+
+                # Medium transition on transmission through the surface
+                # (mirrors integrator.tracer: entering a front face adopts
+                # the material's medium, exiting returns to vacuum).
+                if dot(l, state["ffnormal"]) < 0.0:
+                    if dot(state["normal"], rd) <= 0.0:  # entered the object
+                        mat_m = state["material"]
+                        med_type = mat_m["medium_type"]
+                        med_density = mat_m["medium_density"]
+                        med_color = mat_m["medium_color"].copy()
+                    else:  # exited to vacuum
+                        med_type, med_density = 0, 0.0
+                        med_color = v(0.0, 0.0, 0.0)
 
                 rd = l
                 ro = state["fhp"] + EPS * rd
