@@ -73,6 +73,26 @@ def image_loss(img, target):
     return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
 
 
+def paired_image_loss(img_a, img_b, target):
+    """Unbiased surrogate for the MSE of the *expected* image.
+
+    With a Monte-Carlo renderer, E[mse(I, t)] = ||E[I]-t||^2 + Var(I):
+    minimizing the naive single-sample MSE is biased toward low-variance
+    (darker) parameters — e.g. light emission systematically under-recovers
+    because brightness scales path variance. The classic remedy is two
+    independent renders I_a, I_b of the same scene:
+
+        E[(I_a - t) · (I_b - t)] = ||E[I] - t||^2        (exactly)
+
+    so the cross product drops the variance term. The gradient flows
+    through I_a only (I_b is stop-gradient), giving an unbiased estimate
+    of ∇||E[I] - t||^2 up to the usual detached-sampling caveats.
+    """
+    a = img_a[..., :3] - target[..., :3]
+    b = jax.lax.stop_gradient(img_b[..., :3] - target[..., :3])
+    return jnp.mean(a * b)
+
+
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "quirks"),
@@ -112,17 +132,22 @@ def inverse_render(
     optimizer=None,
     param_transform: Callable | None = None,
     crn: bool = True,
+    unbiased: bool = True,
     verbose: bool = False,
 ) -> OptResult:
     """Adam-optimize the selected scene leaves against a target image.
 
-    crn=True (common random numbers) reuses one fixed key every step: the
-    surrogate loss becomes deterministic in the parameters, which removes
-    the Monte-Carlo noise floor from the descent at the cost of a small
-    surrogate bias (the classic variance-reduction trade for stochastic
-    inverse rendering). crn=False draws a fresh key per step (unbiased
-    stochastic gradient). param_transform, if given, maps the rebuilt
-    scene before rendering (e.g. clamping to valid ranges).
+    unbiased=True (default) uses the two-render paired loss
+    (`paired_image_loss`): twice the forward cost per step, but the
+    optimum is the true expected-image MSE minimum — the naive
+    single-sample MSE is systematically biased toward low-variance
+    (darker/smoother) parameters. crn=True (common random numbers)
+    reuses one fixed key (pair) every step: the surrogate loss becomes
+    deterministic in the parameters, which removes the Monte-Carlo noise
+    floor from the descent at the cost of a small surrogate bias.
+    crn=False draws fresh keys per step (unbiased stochastic gradient).
+    param_transform, if given, maps the rebuilt scene before rendering
+    (e.g. clamping to valid ranges).
     """
     import optax
 
@@ -138,11 +163,17 @@ def inverse_render(
             s = rebuild(tv)
             if param_transform is not None:
                 s = param_transform(s)
-            img = render_frame(
-                s, k, width, height, spp=spp, quirks=quirks,
-                detach=True, remat=True,
-            )
-            return image_loss(img, target)
+
+            def render(kk):
+                return render_frame(
+                    s, kk, width, height, spp=spp, quirks=quirks,
+                    detach=True, remat=True,
+                )
+
+            if unbiased:
+                ka, kb = jax.random.split(k)
+                return paired_image_loss(render(ka), render(kb), target)
+            return image_loss(render(k), target)
 
         loss, grads = jax.value_and_grad(loss_fn)(train)
         updates, opt_state = opt.update(grads, opt_state, train)

@@ -101,11 +101,13 @@ def test_grad_checker_albedo_statistical_depth3():
     _statistical_grad_check(loss)
 
 
-def _statistical_grad_check(loss, seeds=(4, 5, 6, 7), h=5e-2, rtol=0.5):
+def _statistical_grad_check(loss, seeds=tuple(range(4, 12)), h=5e-2, rtol=0.5):
     """Average detached-VJP and FD over several keys. FD noise scales with
     1/h (discrete lobe/coin flips under +-h are heavy-tailed): at h=3e-3 the
     FD sign is not even stable across seeds at spp 64, while h=5e-2 trades a
-    small O(h^2) bias for a ~300x variance reduction."""
+    small O(h^2) bias for a ~300x variance reduction. Both estimators are
+    still noisy at spp 64, so the acceptance band is variance-aware: means
+    must agree within max(rtol*|fd|, 3*SEM of the per-seed difference)."""
     th0 = jnp.asarray(1.0, jnp.float64)
     gs, fds = [], []
     for seed in seeds:
@@ -115,7 +117,10 @@ def _statistical_grad_check(loss, seeds=(4, 5, 6, 7), h=5e-2, rtol=0.5):
     g, fd = np.mean(gs), np.mean(fds)
     assert g != 0.0
     assert np.sign(g) == np.sign(fd)
-    np.testing.assert_allclose(g, fd, rtol=rtol)
+    diff_sem = np.std(np.asarray(gs) - np.asarray(fds), ddof=1) / np.sqrt(len(seeds))
+    assert abs(g - fd) <= max(rtol * abs(fd), 3.0 * diff_sem), (
+        f"mean VJP {g} vs mean FD {fd} (3*SEM {3 * diff_sem})"
+    )
 
 
 def test_grad_roughness_statistical():
@@ -192,7 +197,11 @@ def test_inverse_rendering_recovers_params():
     # BASELINE config 4: recover albedo + light intensity from the target.
     scene = _scene(jnp.float64)
     key = jax.random.PRNGKey(0)
-    target = pt.render_frame(scene, jax.random.PRNGKey(99), W, H, spp=8)
+    # Target at spp 64 so the realization is close to the expected image;
+    # the paired (two-render) loss in inverse_render then makes emission
+    # recovery well-posed (single-sample MSE is biased dark: its optimum
+    # trades bias^2 against Var(render), which grows with emission^2).
+    target = pt.render_frame(scene, jax.random.PRNGKey(99), W, H, spp=64)
 
     # Perturb: darken right sphere, dim the light.
     m = scene.params.materials
