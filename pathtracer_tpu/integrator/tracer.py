@@ -278,10 +278,13 @@ def sample_light(
 
 def direct_light(
     scene: Scene, rd: V3, fhp: V3, ffnormal: V3, material: Material, eta, u,
-    detach: bool = False,
+    detach: bool = False, mis: bool = True,
 ) -> V3:
     """Next-event estimation (tracer.rs:126-170): pick one light uniformly,
-    sample its surface, shadow-test, MIS-weight against the BSDF pdf."""
+    sample its surface, shadow-test, MIS-weight against the BSDF pdf.
+
+    mis=False drops the power-heuristic weight (weight 1): the NEE-only
+    estimator used by the physics invariants (SURVEY.md §4 item 3)."""
     u_pick, r1, r2 = u[..., 0], u[..., 1], u[..., 2]
     n_lights = scene.num_lights
     if n_lights == 0:
@@ -304,12 +307,15 @@ def direct_light(
     # pointwise-correct, and the weight-derivative terms cancel against the
     # BSDF-sampling estimator in expectation (w_light + w_bsdf = 1).
     area = gather_light(scene.lights, idx).area
-    mis = jnp.where(
-        area > 0.0, power_heuristic(ls.pdf, bsdf_pdf), 1.0
-    )  # tracer.rs:157-160
+    if mis:
+        mis_w = jnp.where(
+            area > 0.0, power_heuristic(ls.pdf, bsdf_pdf), 1.0
+        )  # tracer.rs:157-160
+    else:
+        mis_w = jnp.ones_like(ls.pdf)
 
     ok = facing & (~in_shadow) & (bsdf_pdf > 0.0) & (ls.pdf > 0.0)
-    scale = jnp.where(ok, mis / jnp.where(ls.pdf != 0.0, ls.pdf, 1.0), 0.0)
+    scale = jnp.where(ok, mis_w / jnp.where(ls.pdf != 0.0, ls.pdf, 1.0), 0.0)
     return ls.emission * f * scale
 
 
@@ -345,7 +351,8 @@ def _mask3(mask, v: V3) -> V3:
 
 
 def make_bounce_step(
-    scene: Scene, quirks: Quirks = VERBATIM, detach: bool = False
+    scene: Scene, quirks: Quirks = VERBATIM, detach: bool = False,
+    estimator: str = "mis",
 ):
     """One bounce of the per-pixel loop (tracer.rs:61-103), batched.
 
@@ -353,7 +360,19 @@ def make_bounce_step(
     ops/bsdf.disney_sample): discrete lobe/light choices and sampled
     directions are treated as constants under differentiation; BSDF values,
     emissions, background, and geometry terms keep parameter gradients.
+
+    estimator selects the direct-lighting estimator (SURVEY.md §4 item 3 —
+    the three must agree in expectation, which is the physics gate parity
+    tests cannot provide):
+    - "mis"  (default): NEE + BSDF sampling, MIS power-heuristic weighted —
+      the reference's estimator (tracer.rs:77-89).
+    - "bsdf": BSDF sampling only — no NEE; emitter hits counted at weight 1.
+    - "nee":  next-event estimation only — emitter hits contribute 0 (the
+      path still terminates there, tracer.rs:87); all direct light arrives
+      via light-surface sampling.
     """
+    if estimator not in ("mis", "bsdf", "nee"):
+        raise ValueError(f"unknown estimator {estimator!r}")
 
     def bounce(state: PathState, u_bounce) -> tuple[PathState, None]:
         ro, rd = state.ro, state.rd
@@ -440,6 +459,10 @@ def make_bounce_step(
         mis_w = power_heuristic(jnp.maximum(state.prev_pdf, 0.0), em.pdf)
         if not quirks.primary_mis:
             mis_w = jnp.where(state.prev_pdf < 0.0, 1.0, mis_w)
+        if estimator == "bsdf":
+            mis_w = jnp.ones_like(mis_w)
+        elif estimator == "nee":
+            mis_w = jnp.zeros_like(mis_w)
         radiance = radiance + _mask3(
             alive & em.hit, em.emission * (mis_w * 1.0) * throughput
         )
@@ -448,10 +471,12 @@ def make_bounce_step(
         shade = live & ~passthru
 
         # NEE (tracer.rs:89).
-        ld = direct_light(
-            scene, rd, fhp, ffnormal, material, eta, u_bounce[..., 0:3], detach
-        )
-        radiance = radiance + _mask3(shade, ld * throughput)
+        if estimator != "bsdf":
+            ld = direct_light(
+                scene, rd, fhp, ffnormal, material, eta, u_bounce[..., 0:3],
+                detach, mis=(estimator == "mis"),
+            )
+            radiance = radiance + _mask3(shade, ld * throughput)
 
         # BSDF sampling (tracer.rs:92-101).
         bs = disney_sample(
@@ -523,6 +548,7 @@ def trace(
     unroll: int | bool = 1,
     detach: bool = False,
     remat: bool = False,
+    estimator: str = "mis",
 ) -> V3:
     """Trace a batch of primary rays to radiance (the bounce loop of
     tracer.rs:51-103).
@@ -553,7 +579,7 @@ def trace(
         med_density=jnp.zeros(n, dtype),
         med_color=zeros3(n, dtype),
     )
-    bounce = make_bounce_step(scene, quirks, detach)
+    bounce = make_bounce_step(scene, quirks, detach, estimator)
     if remat:
         bounce = jax.checkpoint(bounce)
     final, _ = jax.lax.scan(bounce, init, uniforms, unroll=unroll)
@@ -576,7 +602,10 @@ def draw_uniforms(key, n: int, depth: int, dtype=jnp.float32):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "quirks", "unroll", "detach", "remat"),
+    static_argnames=(
+        "width", "height", "spp", "quirks", "unroll", "detach", "remat",
+        "estimator",
+    ),
 )
 def render_frame(
     scene: Scene,
@@ -588,6 +617,7 @@ def render_frame(
     unroll: int | bool = 1,
     detach: bool = False,
     remat: bool = False,
+    estimator: str = "mis",
 ) -> jnp.ndarray:
     """Render one progressive frame -> [H, W, 4] linear RGBA (alpha = 1).
 
@@ -604,7 +634,9 @@ def render_frame(
         cam_u, bounce_u = draw_uniforms(k, n, depth, dtype)
         offset = V2(cam_u[:, 0], cam_u[:, 1])
         ro, rd = gen_ray(scene.camera, coords, offset, float(width), float(height))
-        return trace(scene, ro, rd, bounce_u, quirks, unroll, detach, remat)
+        return trace(
+            scene, ro, rd, bounce_u, quirks, unroll, detach, remat, estimator
+        )
 
     if spp == 1:
         radiance = one_sample(key)

@@ -42,18 +42,34 @@ def save_checkpoint(path: str, state: Any) -> None:
 def load_checkpoint(path: str, like: Any) -> Any:
     """Load a checkpoint saved by save_checkpoint into the structure of
     `like` (leaf shapes/dtypes are taken from the file; structure must
-    match)."""
+    match).
+
+    The saved treedef string is ENFORCED, not advisory: loading a
+    same-leaf-count but different-structure checkpoint would silently
+    misassign leaves (e.g. swap pixels and key in the render state), so a
+    structure mismatch raises instead."""
     with np.load(path) as data:
         leaves_like, treedef = _flatten(like)
-        n = len(leaves_like)
-        leaves = [data[f"leaf_{i}"] for i in range(n)]
-    saved_def = None
-    # structure check: leaf count must match; treedef string is advisory
-    if len(leaves) != len(leaves_like):
-        raise ValueError(
-            f"checkpoint has {len(leaves)} leaves, expected {len(leaves_like)}"
-        )
-    del saved_def
+        n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
+        if n_saved != len(leaves_like):
+            raise ValueError(
+                f"checkpoint has {n_saved} leaves, expected {len(leaves_like)}"
+            )
+        if "__treedef__" in data.files:
+            saved_def = json.loads(bytes(data["__treedef__"]).decode())
+            if saved_def != str(treedef):
+                raise ValueError(
+                    "checkpoint pytree structure mismatch:\n"
+                    f"  saved:    {saved_def}\n"
+                    f"  expected: {treedef}"
+                )
+        leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
+    for i, (saved, want) in enumerate(zip(leaves, leaves_like)):
+        want = np.asarray(want)
+        if saved.shape != want.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} shape {saved.shape} != expected {want.shape}"
+            )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -25,3 +25,9 @@ jax.config.update("jax_platforms", "cpu")
 # path is f32; tests validate the vectorized math against the scalar oracle
 # at matching precision).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: after the golden-fixture cache removed
+# the oracle cost, suite wall time is dominated by CPU recompiles of
+# render_frame variants; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pathtracer_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

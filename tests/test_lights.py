@@ -11,6 +11,7 @@ import numpy as np
 
 import pathtracer_tpu as pt
 from pathtracer_tpu.oracle import cpu_oracle as O
+from oracle_cache import cached_render
 
 W, H = 24, 16
 
@@ -23,7 +24,7 @@ def _parity(lights, depth=4, seed=0, quirks=pt.VERBATIM):
     img_jax = np.asarray(pt.render_frame(scene, key, W, H, quirks=quirks))
     cam_u, bounce_u = pt.draw_uniforms(key, W * H, depth, jnp.float64)
     osc = O.OracleScene(scene.params, scene.lights, scene.camera, recursion_depth=depth)
-    img_oracle = O.render(
+    img_oracle = cached_render(
         osc, W, H, np.asarray(cam_u), np.asarray(bounce_u),
         stale_emitter_gate=quirks.stale_emitter_gate,
         primary_mis=quirks.primary_mis,

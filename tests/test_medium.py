@@ -17,6 +17,7 @@ import pytest
 
 import pathtracer_tpu as pt
 from pathtracer_tpu.oracle import cpu_oracle as O
+from oracle_cache import cached_render
 
 W, H = 24, 16
 
@@ -52,7 +53,7 @@ def _oracle_render(scene, key, depth=6):
     osc = O.OracleScene(
         scene.params, scene.lights, scene.camera, recursion_depth=depth
     )
-    return O.render(
+    return cached_render(
         osc, W, H, np.asarray(cam_u, np.float64), np.asarray(bounce_u, np.float64)
     )
 

@@ -14,6 +14,7 @@ import pytest
 
 import pathtracer_tpu as pt
 from pathtracer_tpu.oracle import cpu_oracle as O
+from oracle_cache import cached_render
 
 W, H = 24, 16
 
@@ -32,7 +33,7 @@ def _render_pair(quirks: pt.Quirks, depth=4, seed=0):
     osc = O.OracleScene(
         scene.params, scene.lights, scene.camera, recursion_depth=depth
     )
-    img_oracle = O.render(
+    img_oracle = cached_render(
         osc, W, H, cam_u, bounce_u,
         stale_emitter_gate=quirks.stale_emitter_gate,
         primary_mis=quirks.primary_mis,

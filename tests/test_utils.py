@@ -86,6 +86,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert latest_checkpoint(str(tmp_path)) == p
 
 
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    # Same leaf count, different pytree structure: must raise, not silently
+    # misassign leaves (VERDICT round 1, weak #10).
+    import pytest
+
+    a = (jnp.zeros((2, 2)), jnp.ones(3), 5)
+    p = str(tmp_path / "ckpt_000001.npz")
+    save_checkpoint(p, a)
+    # different structure, same leaf count
+    b = ((jnp.zeros((2, 2)), jnp.ones(3)), 5)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_checkpoint(p, b)
+    # different leaf count
+    c = (jnp.zeros((2, 2)), 5)
+    with pytest.raises(ValueError, match="leaves"):
+        load_checkpoint(p, c)
+    # different leaf shape
+    d = (jnp.zeros((3, 2)), jnp.ones(3), 5)
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(p, d)
+
+
 def test_config_json_roundtrip():
     cfg = RenderConfig(width=123, frames=9, quirks="fixed", precision="f64")
     back = RenderConfig.from_json(cfg.to_json())
