@@ -37,7 +37,12 @@ from ..models.material import Material, finalize_material
 from ..models.scene import Scene
 from ..ops.bsdf import disney_eval, disney_sample
 from ..ops.intersect import ray_rect, ray_sphere
-from ..ops.sampling import power_heuristic, uniform_sample_hemisphere
+from ..ops.sampling import (
+    hg_phase,
+    power_heuristic,
+    sample_hg,
+    uniform_sample_hemisphere,
+)
 from ..ops.vecmath import (
     V2,
     V3,
@@ -53,8 +58,11 @@ from ..ops.vecmath import (
 EPS = 0.005  # tracer.rs:16
 
 # Uniforms consumed per bounce: [light pick, light r1, light r2,
-# bsdf r1, bsdf r2, reflect/refract coin, alpha coin].
-U_PER_BOUNCE = 7
+# bsdf r1, bsdf r2, reflect/refract coin, alpha coin, scatter-distance].
+# On a volumetric scatter bounce the surface never runs, so the NEE triple
+# u[0:3] re-targets the scatter point and the BSDF pair u[3:4] drives HG
+# direction sampling — every uniform is consumed at most once per lane.
+U_PER_BOUNCE = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -319,6 +327,36 @@ def direct_light(
     return ls.emission * f * scale
 
 
+def _scatter_direct_light(
+    scene: Scene, rd: V3, scatter_pos: V3, g, u,
+    detach: bool = False, mis: bool = True,
+) -> V3:
+    """Next-event estimation from a volumetric scatter point: identical to
+    direct_light except the HG phase function p(cosθ; g) replaces the
+    surface BSDF (value AND pdf — HG importance sampling is exact, so the
+    same scalar plays both roles in the MIS weight)."""
+    u_pick, r1, r2 = u[..., 0], u[..., 1], u[..., 2]
+    n_lights = scene.num_lights
+    if n_lights == 0:
+        return zeros3(jnp.shape(rd.x), jnp.asarray(rd.x).dtype)
+
+    idx = jnp.clip((u_pick * n_lights).astype(jnp.int32), 0, n_lights - 1)
+    ls = sample_light(scene.lights, idx, scatter_pos, r1, r2, detach)
+
+    facing = dot(ls.direction, ls.normal) < 0.0  # tracer.rs:148
+    in_shadow = scene.any_hit(scatter_pos, ls.direction, ls.dist - EPS)
+
+    p = hg_phase(dot(rd, ls.direction), g)
+    area = gather_light(scene.lights, idx).area
+    if mis:
+        mis_w = jnp.where(area > 0.0, power_heuristic(ls.pdf, p), 1.0)
+    else:
+        mis_w = jnp.ones_like(ls.pdf)
+    ok = facing & (~in_shadow) & (p > 0.0) & (ls.pdf > 0.0)
+    scale = jnp.where(ok, mis_w * p / jnp.where(ls.pdf != 0.0, ls.pdf, 1.0), 0.0)
+    return ls.emission * splat3(scale)
+
+
 class PathState(NamedTuple):
     """Per-lane bounce-loop carry: Ray + State + ScatterSampleRec
     (ray.rs:6-48, globals.rs:6-104) flattened into scan carry."""
@@ -339,6 +377,7 @@ class PathState(NamedTuple):
     med_type: jnp.ndarray  # int32
     med_density: jnp.ndarray
     med_color: V3
+    med_aniso: jnp.ndarray  # HG g (Medium.anisotropy, clamped ±0.9)
 
 
 def _mask3(mask, v: V3) -> V3:
@@ -416,6 +455,34 @@ def make_bounce_step(
         )
         throughput = where3(absorbing, throughput * att, throughput)
 
+        # MediumType::Scatter (material.rs:8-13, declared in the reference
+        # but never integrated; GLSL-family single-scattering semantics):
+        # sample a free-flight distance s ~ Exp(density); if s lands inside
+        # the segment the path scatters there instead of reaching the
+        # surface — the exponential pdf cancels the transmittance exactly,
+        # so throughput picks up only the single-scatter albedo (color).
+        # The scatter event gets its own NEE (HG phase replaces the BSDF)
+        # and an HG-sampled continuation; it consumes the bounce.
+        u_dist = u_bounce[..., 7]
+        sigma = jnp.maximum(state.med_density, 1e-12)
+        s_free = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-12)) / sigma
+        scat = (
+            alive & hit & (state.med_type == 2) & (state.med_density > 0.0)
+            & (s_free < hit_dist)
+        )
+        sg_ = jax.lax.stop_gradient if detach else (lambda x: x)
+        scatter_pos = ro + rd * sg_(jnp.where(scat, s_free, 0.0))
+        throughput = where3(scat, throughput * state.med_color, throughput)
+        if estimator != "bsdf":
+            ld_s = _scatter_direct_light(
+                scene, rd, scatter_pos, state.med_aniso, u_bounce[..., 0:3],
+                detach, mis=(estimator == "mis"),
+            )
+            radiance = radiance + _mask3(scat, ld_s * throughput)
+        l_hg = sample_hg(rd, state.med_aniso, u_bounce[..., 3], u_bounce[..., 4])
+        l_hg = sg_(l_hg)
+        pdf_hg = hg_phase(dot(rd, l_hg), state.med_aniso)
+
         # Miss -> background * throughput, path dies (tracer.rs:66-69).
         bg = scene.background(rd)
         radiance = radiance + _mask3(alive & ~hit, bg * throughput)
@@ -442,11 +509,11 @@ def make_bounce_step(
         alpha_fail = ((am == 1) & (u_alpha > material.opacity)) | (
             (am == 2) & (material.opacity < material.alpha_cutoff)
         )
-        passthru = alive & hit & ~em.hit & alpha_fail
+        passthru = alive & hit & ~em.hit & alpha_fail & ~scat
 
         # Surface emission (tracer.rs:74).
         radiance = radiance + _mask3(
-            alive & hit & ~passthru, material.emission * throughput
+            alive & hit & ~passthru & ~scat, material.emission * throughput
         )
 
         # Emitter hit: MIS with the previous bounce's scatter pdf
@@ -464,10 +531,10 @@ def make_bounce_step(
         elif estimator == "nee":
             mis_w = jnp.zeros_like(mis_w)
         radiance = radiance + _mask3(
-            alive & em.hit, em.emission * (mis_w * 1.0) * throughput
+            alive & em.hit & ~scat, em.emission * (mis_w * 1.0) * throughput
         )
 
-        live = alive & hit & ~em.hit
+        live = alive & hit & ~em.hit & ~scat
         shade = live & ~passthru
 
         # NEE (tracer.rs:89).
@@ -491,12 +558,19 @@ def make_bounce_step(
         # Alpha skip: continue straight through the surface.
         ro_next = where3(passthru, fhp + rd * EPS, ro_next)
         rd_next = where3(passthru, rd, rd_next)
-        cont = cont | passthru
+        # Volumetric scatter: continue from the scatter point along the
+        # HG-sampled direction (still inside the medium).
+        ro_next = where3(scat, scatter_pos, ro_next)
+        rd_next = where3(scat, l_hg, rd_next)
+        cont = cont | passthru | scat
 
         # scatter_sample.{l, pdf} update verbatim: written whenever
-        # disney_sample ran, i.e. on shaded lanes (tracer.rs:92).
+        # disney_sample ran, i.e. on shaded lanes (tracer.rs:92); a
+        # volumetric scatter records the HG pdf for next-bounce emitter MIS.
         prev_pdf = jnp.where(shade, bs.pdf, state.prev_pdf)
+        prev_pdf = jnp.where(scat, sg_(pdf_hg), prev_pdf)
         prev_l = where3(shade, bs.l, state.prev_l)
+        prev_l = where3(scat, l_hg, prev_l)
         # state.hit_dist persists; closest_hit only ran on alive lanes.
         prev_hit_dist = jnp.where(alive & hit, hit_dist, state.prev_hit_dist)
 
@@ -518,6 +592,9 @@ def make_bounce_step(
         med_color = where3(
             enter_m, mmed.color, where3(exit_m, zero3, state.med_color)
         )
+        med_aniso = jnp.where(
+            enter_m, mmed.anisotropy, jnp.where(exit_m, 0.0, state.med_aniso)
+        )
 
         return (
             PathState(
@@ -532,11 +609,38 @@ def make_bounce_step(
                 med_type=med_type,
                 med_density=med_density,
                 med_color=med_color,
+                med_aniso=med_aniso,
             ),
             None,
         )
 
     return bounce
+
+
+def init_state(ro: V3, rd: V3, quirks: Quirks = VERBATIM) -> PathState:
+    """Fresh per-lane path state for a batch of primary rays
+    (State::new / ScatterSampleRec::new, globals.rs:23-39, 97-103)."""
+    n = jnp.shape(rd.x)
+    dtype = jnp.asarray(rd.x).dtype
+    if quirks.primary_mis:
+        prev_pdf0 = jnp.zeros(n, dtype)
+    else:
+        # -1 sentinel: "no previous bounce" -> emitter weight 1.
+        prev_pdf0 = jnp.full(n, -1.0, dtype)
+    return PathState(
+        ro=ro,
+        rd=rd,
+        radiance=zeros3(n, dtype),
+        throughput=splat3(jnp.ones(n, dtype)),
+        alive=jnp.ones(n, bool),
+        prev_pdf=prev_pdf0,
+        prev_l=zeros3(n, dtype),
+        prev_hit_dist=jnp.full(n, -1.0, dtype),  # State::new (globals.rs:28)
+        med_type=jnp.zeros(n, jnp.int32),  # vacuum (MediumType::None)
+        med_density=jnp.zeros(n, dtype),
+        med_color=zeros3(n, dtype),
+        med_aniso=jnp.zeros(n, dtype),
+    )
 
 
 def trace(
@@ -560,30 +664,46 @@ def trace(
     n = jnp.shape(rd.x)
     dtype = jnp.asarray(rd.x).dtype
 
-    if quirks.primary_mis:
-        prev_pdf0 = jnp.zeros(n, dtype)
-    else:
-        # -1 sentinel: "no previous bounce" -> emitter weight 1.
-        prev_pdf0 = jnp.full(n, -1.0, dtype)
-
-    init = PathState(
-        ro=ro,
-        rd=rd,
-        radiance=zeros3(n, dtype),
-        throughput=splat3(jnp.ones(n, dtype)),
-        alive=jnp.ones(n, bool),
-        prev_pdf=prev_pdf0,
-        prev_l=zeros3(n, dtype),  # ScatterSampleRec::new (globals.rs:97-103)
-        prev_hit_dist=jnp.full(n, -1.0, dtype),  # State::new (globals.rs:28)
-        med_type=jnp.zeros(n, jnp.int32),  # vacuum (MediumType::None)
-        med_density=jnp.zeros(n, dtype),
-        med_color=zeros3(n, dtype),
-    )
+    init = init_state(ro, rd, quirks)
     bounce = make_bounce_step(scene, quirks, detach, estimator)
     if remat:
         bounce = jax.checkpoint(bounce)
     final, _ = jax.lax.scan(bounce, init, uniforms, unroll=unroll)
     return final.radiance
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "quirks"))
+def measure_occupancy(
+    scene: Scene, key, width: int, height: int, spp: int = 1,
+    quirks: Quirks = VERBATIM,
+) -> jnp.ndarray:
+    """Masked-lane occupancy: the fraction of lanes still alive ENTERING
+    each bounce, [depth] floats (first entry is 1.0 by construction).
+
+    This is the measurement SURVEY.md §7 "hard part 2" calls for before any
+    compaction engineering: the reference's per-pixel `break`s
+    (tracer.rs:66-97) become masked lanes here, and wasted-lane fraction =
+    1 - occupancy is the ceiling on what ray compaction could recover at a
+    given depth. Logged by app/render.py --occupancy.
+    """
+    dtype = scene.lights.radius.dtype
+    n = width * height * spp
+    coords = pixel_coords(width, height, dtype)
+    if spp > 1:
+        coords = V2(jnp.repeat(coords.x, spp), jnp.repeat(coords.y, spp))
+    depth = scene.recursion_depth
+    cam_u, bounce_u = draw_uniforms(key, n, depth, dtype)
+    offset = V2(cam_u[:, 0], cam_u[:, 1])
+    ro, rd = gen_ray(scene.camera, coords, offset, float(width), float(height))
+    bounce = make_bounce_step(scene, quirks)
+
+    def step(state, u):
+        frac = jnp.mean(state.alive.astype(dtype))
+        new, _ = bounce(state, u)
+        return new, frac
+
+    _, fracs = jax.lax.scan(step, init_state(ro, rd, quirks), bounce_u)
+    return fracs
 
 
 def draw_uniforms(key, n: int, depth: int, dtype=jnp.float32):

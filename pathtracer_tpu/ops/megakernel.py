@@ -3,8 +3,8 @@
 This is the M5 performance path (SURVEY.md §7): where the XLA integrator
 (integrator/tracer.py) walks the bounce loop as a lax.scan whose carry
 round-trips HBM every bounce, this kernel keeps a tile of rays resident in
-VMEM for the ENTIRE path — camera ray generation, sphere/plane intersection,
-the emitter pass, next-event estimation with MIS, and four-lobe Disney BSDF
+VMEM for the ENTIRE path — camera ray generation, scene intersection, the
+emitter pass, next-event estimation with MIS, and four-lobe Disney BSDF
 sampling (reference: rust-pathtracer/src/tracer.rs:22-220 + 441-626,
 renderer/src/analytical.rs:28-145) — writing only the final radiance back to
 HBM. Two randomness modes:
@@ -16,25 +16,36 @@ HBM. Two randomness modes:
 - uniforms="inkernel": the TPU core PRNG (pltpu.prng_random_bits) generates
   uniforms in VMEM, seeded per (frame, tile). No uniform tensor ever touches
   HBM: zero bandwidth, different but equally-valid sample sequence
-  (validated statistically against the XLA estimator).
+  (validated statistically against the XLA estimator and by KS/uniformity
+  tests, tests/test_rng.py).
 
-Scene support: the analytical demo scene (2 spheres + checker plane + sky +
-L spherical lights) with any L and any material table size M, specialized by
-static unrolling — no per-lane gathers, only where-chains, which is the
-TPU-native replacement for the reference's trait dispatch per ray.
+Scene support is pluggable via `KernelBackend` (the in-kernel analog of the
+reference's `trait Scene`, rust-pathtracer/src/scene.rs:5-90): this module
+ships the analytical demo backend (2 spheres + checker plane + sky + L
+lights of any type, any material table size M, specialized by static
+unrolling — no per-lane gathers, only where-chains); ops/megakernel_sdf.py
+adds the sphere-traced SDF backend.
 
 The kernel reuses the SAME pure jnp building blocks as the XLA path
 (ops.bsdf disney_sample/disney_eval, ops.sampling, ops.intersect,
 models.material.finalize_material): Pallas traces them straight into the
 kernel body, so there is exactly one implementation of the BSDF math.
 
-Forward path only. Inverse rendering (jax.grad) uses the XLA integrator;
-this kernel is the production *rendering* fast path.
+Differentiable: `render_frame_pallas` routes through a jax.custom_vjp whose
+backward pass is a SECOND Pallas kernel that replays the tile's path
+(same PRNG stream / same HBM uniforms) and runs the vector-Jacobian product
+of the pure path function against the incoming image cotangent entirely in
+VMEM — per-bounce rematerialization keeps residuals to the loop carry. The
+gradient estimator is the same detached-sampling policy as the XLA
+integrator (ops/bsdf.disney_sample detach=True), so gradients are validated
+against the XLA path's on identical uniforms (tests/test_megakernel_grad.py)
+and, transitively, the f64 finite-difference oracle (tests/test_grad.py).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -94,17 +105,12 @@ def _v3_list(v: V3):
     return [v.x, v.y, v.z]
 
 
-def pack_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
-    """Flatten camera-derived vectors + analytical params + lights into one
-    f32 vector consumed by the kernel via SMEM scalar reads.
-
-    The camera basis is precomputed here exactly as Pinhole::gen_ray does
+def pack_camera(scene: Scene, width: int, height: int) -> list:
+    """Camera basis exactly as Pinhole::gen_ray precomputes it
     (camera/pinhole.rs:38-61): lower_left / horizontal / vertical / origin.
-    """
-    p: AnalyticalParams = scene.params
+    Pure jnp on scene leaves — camera gradients flow through this pack."""
     cam = scene.camera
     f32 = jnp.float32
-
     ratio = width / height
     half_width = jnp.tan(jnp.deg2rad(cam.fov) * 0.5)
     half_height = half_width / ratio
@@ -115,10 +121,59 @@ def pack_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
     lower_left = cam.origin - u * half_width - v * half_height - w
     horizontal = u * (half_width * 2.0)
     vertical = v * (half_height * 2.0)
+    return (
+        _v3_list(lower_left)
+        + _v3_list(horizontal)
+        + _v3_list(vertical)
+        + _v3_list(cam.origin)
+    )
 
+
+def pack_lights(scene: Scene) -> list:
+    """Light table (globals.rs:75-84):
+    L x [pos(3), emission(3), u(3), v(3), radius, area, type]."""
+    f32 = jnp.float32
     vals: list = []
-    vals += _v3_list(lower_left) + _v3_list(horizontal) + _v3_list(vertical)
-    vals += _v3_list(cam.origin)
+    lt = scene.lights
+    for i in range(lt.count):
+        vals += [lt.position.x[i], lt.position.y[i], lt.position.z[i]]
+        vals += [lt.emission.x[i], lt.emission.y[i], lt.emission.z[i]]
+        vals += [lt.u.x[i], lt.u.y[i], lt.u.z[i]]
+        vals += [lt.v.x[i], lt.v.y[i], lt.v.z[i]]
+        vals += [lt.radius[i], lt.area[i], lt.light_type[i].astype(f32)]
+    return vals
+
+
+def pack_materials(materials: Material) -> list:
+    """Material table [M] (material.rs:48-78)."""
+    f32 = jnp.float32
+    vals: list = []
+    M = int(materials.roughness.shape[0])
+    for i in range(M):
+        for name, arity in _MAT_FIELDS:
+            leaf = getattr(materials, name)
+            if arity == 3:
+                vals += [leaf.x[i], leaf.y[i], leaf.z[i]]
+            elif name == "alpha_mode":
+                vals.append(leaf[i].astype(f32))
+            else:
+                vals.append(leaf[i])
+    return vals
+
+
+def pack_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
+    """Flatten camera-derived vectors + analytical params + lights into one
+    f32 vector consumed by the kernel via SMEM scalar reads.
+
+    Pure jnp on the scene pytree leaves, so it is differentiable: the
+    backward kernel produces d(loss)/d(packed vector) and jax.vjp of THIS
+    function carries it back onto scene parameters (materials, lights,
+    geometry, camera) with no extra code.
+    """
+    p: AnalyticalParams = scene.params
+    f32 = jnp.float32
+
+    vals: list = pack_camera(scene, width, height)
 
     # Spheres (analytical.rs:41,70).
     for i in range(2):
@@ -132,59 +187,39 @@ def pack_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
     # Sky (analytical.rs:28-32).
     vals += _v3_list(p.sky_horizon) + _v3_list(p.sky_zenith) + [p.sky_scale]
 
-    # Lights (globals.rs:75-84):
-    # L x [pos(3), emission(3), u(3), v(3), radius, area, type].
-    L = scene.lights.count
-    for i in range(L):
-        lt = scene.lights
-        vals += [lt.position.x[i], lt.position.y[i], lt.position.z[i]]
-        vals += [lt.emission.x[i], lt.emission.y[i], lt.emission.z[i]]
-        vals += [lt.u.x[i], lt.u.y[i], lt.u.z[i]]
-        vals += [lt.v.x[i], lt.v.y[i], lt.v.z[i]]
-        vals += [lt.radius[i], lt.area[i], lt.light_type[i].astype(f32)]
-
-    # Material table [M] (material.rs:48-78).
-    M = int(p.materials.roughness.shape[0])
-    for i in range(M):
-        for name, arity in _MAT_FIELDS:
-            leaf = getattr(p.materials, name)
-            if arity == 3:
-                vals += [leaf.x[i], leaf.y[i], leaf.z[i]]
-            elif name == "alpha_mode":
-                vals.append(leaf[i].astype(f32))
-            else:
-                vals.append(leaf[i])
+    vals += pack_lights(scene)
+    vals += pack_materials(p.materials)
 
     flat = jnp.stack([jnp.asarray(x, f32) for x in vals])
     return flat[None, :]  # (1, P) for SMEM
 
 
-class _SceneScalars:
-    """In-kernel view: reads pack_scene's layout back as traced scalars."""
+class _TupleRef:
+    """Adapter: lets the scalar-view classes read from a tuple of traced
+    scalars with the same `ref[0, i]` indexing they use on an SMEM Ref —
+    the backward kernel passes packed params to jax.vjp as individual
+    scalars so their cotangents come back as scalars (no in-kernel
+    scatter-adds)."""
 
-    def __init__(self, ref, n_lights: int, n_materials: int):
-        self._ref = ref
-        self._off = 0
+    def __init__(self, vals):
+        self.vals = vals
+
+    def __getitem__(self, idx):
+        return self.vals[idx[1]]
+
+
+class _CommonScalars:
+    """Shared unpack of the (camera, lights, materials) segments."""
+
+    def _read_camera(self):
         get = self._get
-
         self.lower_left = V3(get(), get(), get())
         self.horizontal = V3(get(), get(), get())
         self.vertical = V3(get(), get(), get())
         self.cam_origin = V3(get(), get(), get())
 
-        self.sphere_center = [V3(get(), get(), get()) for _ in range(2)]
-        self.sphere_radius = [get() for _ in range(2)]
-
-        self.plane_point = V3(get(), get(), get())
-        self.plane_normal = V3(get(), get(), get())
-        self.checker_scale = get()
-        self.checker_offset = get()
-        self.checker_albedo = [get(), get()]
-
-        self.sky_horizon = V3(get(), get(), get())
-        self.sky_zenith = V3(get(), get(), get())
-        self.sky_scale = get()
-
+    def _read_lights(self, n_lights: int):
+        get = self._get
         self.lights = []
         for _ in range(n_lights):
             self.lights.append(
@@ -199,6 +234,8 @@ class _SceneScalars:
                 )
             )
 
+    def _read_materials(self, n_materials: int):
+        get = self._get
         self.materials = []
         for _ in range(n_materials):
             m = {}
@@ -210,6 +247,33 @@ class _SceneScalars:
         val = self._ref[0, self._off]
         self._off += 1
         return val
+
+
+class _SceneScalars(_CommonScalars):
+    """In-kernel view: reads pack_scene's layout back as traced scalars."""
+
+    def __init__(self, ref, n_lights: int, n_materials: int):
+        self._ref = ref
+        self._off = 0
+        get = self._get
+
+        self._read_camera()
+
+        self.sphere_center = [V3(get(), get(), get()) for _ in range(2)]
+        self.sphere_radius = [get() for _ in range(2)]
+
+        self.plane_point = V3(get(), get(), get())
+        self.plane_normal = V3(get(), get(), get())
+        self.checker_scale = get()
+        self.checker_offset = get()
+        self.checker_albedo = [get(), get()]
+
+        self.sky_horizon = V3(get(), get(), get())
+        self.sky_zenith = V3(get(), get(), get())
+        self.sky_scale = get()
+
+        self._read_lights(n_lights)
+        self._read_materials(n_materials)
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +288,7 @@ def _background(sc: _SceneScalars, rd: V3) -> V3:
     return c.to_linear() * splat3(sc.sky_scale)
 
 
-def _pick_material(sc: _SceneScalars, idx, shape) -> Material:
+def _pick_material(sc, idx, shape) -> Material:
     """Material table lookup as a static where-chain — the gather-free
     replacement for models.material.gather_material inside the kernel."""
     M = len(sc.materials)
@@ -303,7 +367,18 @@ def _any_hit(sc: _SceneScalars, ro: V3, rd: V3, max_dist):
     return jnp.isfinite(t0) | jnp.isfinite(t1) | jnp.isfinite(tp)
 
 
-def _sample_lights_emitter(sc: _SceneScalars, ro: V3, rd: V3, gate_dist):
+def _any_hit_respect(sc: _SceneScalars, ro: V3, rd: V3, max_dist):
+    """Fixed-semantics occlusion (models/analytical.py
+    any_hit_respecting_max_dist)."""
+    c0, c1 = sc.sphere_center
+    t0 = ray_sphere(ro, rd, c0, sc.sphere_radius[0])
+    t1 = ray_sphere(ro, rd, c1, sc.sphere_radius[1])
+    tp = ray_plane(ro, rd, sc.plane_normal, sc.plane_point)
+    t = jnp.minimum(jnp.minimum(t0, t1), tp)
+    return t < max_dist
+
+
+def _sample_lights_emitter(sc, ro: V3, rd: V3, gate_dist):
     """Emitter-intersection pass (scene.rs:36-86), statically unrolled over
     the light list. Mirrors integrator.tracer.sample_lights_emitter:
     spherical verbatim, rectangular per the GLSL original, distant never
@@ -336,14 +411,22 @@ def _sample_lights_emitter(sc: _SceneScalars, ro: V3, rd: V3, gate_dist):
     return hit, dist, pdf, emission
 
 
-def _direct_light(sc: _SceneScalars, rd: V3, fhp: V3, ffnormal: V3, material, eta, u):
+def _direct_light(
+    sc, any_hit_fn, rd: V3, fhp: V3, ffnormal: V3, material, eta, u,
+    detach: bool = False,
+):
     """NEE (tracer.rs:126-170) with the uniform light pick unrolled as a
-    where-chain over the static light list."""
+    where-chain over the static light list.
+
+    detach mirrors integrator.tracer.sample_light: the sampled light
+    geometry (direction, distance, normal, pdf) is stop-gradiented,
+    emission keeps its gradient (light-intensity recovery)."""
     u_pick, r1, r2 = u
     shape = jnp.shape(rd.x)
     L = len(sc.lights)
     if L == 0:
         return zeros3(shape, jnp.float32)
+    sg = jax.lax.stop_gradient if detach else (lambda x: x)
 
     scatter_pos = fhp + ffnormal * EPS
     idx = jnp.clip((u_pick * L).astype(jnp.int32), 0, L - 1)
@@ -391,7 +474,7 @@ def _direct_light(sc: _SceneScalars, rd: V3, fhp: V3, ffnormal: V3, material, et
         pdf = jnp.where(is_dst, 1.0, pdf)
 
         emission = lt["emission"] * float(L)  # tracer.rs:214
-        return normal, emission, direction, dist, pdf, lt["area"]
+        return sg(normal), emission, sg(direction), sg(dist), sg(pdf), lt["area"]
 
     normal, emission, direction, dist, pdf, area = one(sc.lights[L - 1])
     # broadcast the last light's sample to full lanes, then select
@@ -410,7 +493,7 @@ def _direct_light(sc: _SceneScalars, rd: V3, fhp: V3, ffnormal: V3, material, et
         area = jnp.where(take, ai, area)
 
     facing = dot(direction, normal) < 0.0  # tracer.rs:148
-    in_shadow = _any_hit(sc, scatter_pos, direction, dist - EPS)
+    in_shadow = any_hit_fn(sc, scatter_pos, direction, dist - EPS)
     f, bsdf_pdf = disney_eval(material, eta, -rd, ffnormal, direction)
     mis = jnp.where(area > 0.0, power_heuristic(pdf, bsdf_pdf), 1.0)
     ok = facing & (~in_shadow) & (bsdf_pdf > 0.0) & (pdf > 0.0)
@@ -419,7 +502,85 @@ def _direct_light(sc: _SceneScalars, rd: V3, fhp: V3, ffnormal: V3, material, et
 
 
 # ---------------------------------------------------------------------------
-# The kernel
+# Backend protocol: the in-kernel `trait Scene`
+# ---------------------------------------------------------------------------
+
+
+class KernelBackend(NamedTuple):
+    """Everything the generic kernel body needs from a scene type.
+
+    meta is a hashable tuple of static structure (counts) produced by
+    `meta_of(scene)`; `view(ref, meta)` rebuilds the scalar view inside the
+    kernel; the three scene fns mirror trait Scene (scene.rs:5-90)."""
+
+    name: str
+    pack: Callable  # (scene, width, height) -> (1, P) f32
+    meta_of: Callable  # (scene) -> hashable tuple
+    view: Callable  # (ref, meta) -> scalar view object (has .lights, camera)
+    closest_hit: Callable  # (sc, ro, rd) -> (t, normal, material)
+    any_hit: Callable  # (sc, ro, rd, max_dist) -> bool
+    background: Callable  # (sc, rd) -> V3
+
+
+def _analytical_meta(scene: Scene) -> tuple:
+    return (
+        scene.lights.count,
+        int(scene.params.materials.roughness.shape[0]),
+        scene.any_hit_fn.__name__ == "any_hit_respecting_max_dist",
+    )
+
+
+def _analytical_view(ref, meta):
+    return _SceneScalars(ref, meta[0], meta[1])
+
+
+def _analytical_any_hit_dispatch(sc, ro, rd, max_dist, respect=False):
+    return (_any_hit_respect if respect else _any_hit)(sc, ro, rd, max_dist)
+
+
+ANALYTICAL_BACKEND = KernelBackend(
+    name="analytical",
+    pack=pack_scene,
+    meta_of=_analytical_meta,
+    view=_analytical_view,
+    closest_hit=_closest_hit,
+    any_hit=_any_hit,  # replaced per-meta in _resolve_backend
+    background=_background,
+)
+
+_BACKENDS: dict[str, KernelBackend] = {"analytical": ANALYTICAL_BACKEND}
+
+
+def register_backend(backend: KernelBackend) -> None:
+    _BACKENDS[backend.name] = backend
+
+
+def _resolve_backend(scene: Scene) -> KernelBackend:
+    """Pick the kernel backend for a Scene by its closest_hit function."""
+    from ..models import analytical as _ana
+
+    if scene.closest_hit_fn is _ana.closest_hit:
+        b = _BACKENDS["analytical"]
+        if scene.any_hit_fn is _ana.any_hit_respecting_max_dist:
+            b = b._replace(any_hit=_any_hit_respect)
+        return b
+    try:
+        from ..models import sdf as _sdf
+        from . import megakernel_sdf  # noqa: F401  (registers "sdf")
+
+        if scene.closest_hit_fn is _sdf.closest_hit:
+            return _BACKENDS["sdf"]
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        "no Pallas kernel backend for this scene's closest_hit_fn; "
+        "use integrator.tracer.render_frame (XLA path)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# The generic path loop (shared by forward kernel, backward kernel, and the
+# SDF backend)
 # ---------------------------------------------------------------------------
 
 
@@ -432,152 +593,416 @@ def _mask3(mask, v: V3) -> V3:
     )
 
 
+def _raygen(sc, shape, lane_base, spp, width, height, ox, oy):
+    """Camera ray generation (tracer.rs:36-47 + pinhole.rs:38-61) for a
+    tile whose flat (pixel*spp) indices start at lane_base."""
+    n_pix = width * height
+    lane = (
+        lane_base
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    )
+    pid = jnp.minimum(lane // spp, n_pix - 1)
+    px = (pid % width).astype(jnp.float32)
+    py = (pid // width).astype(jnp.float32)
+    cx = px * jnp.float32(1.0 / width)
+    cy = (jnp.float32(height - 1) - py) * jnp.float32(1.0 / height)
+
+    rd = (
+        (sc.lower_left - sc.cam_origin)
+        + sc.horizontal * (jnp.float32(1.0 / width) * ox + cx)
+        + sc.vertical * (jnp.float32(1.0 / height) * oy + cy)
+    )
+    rd = normalize(rd)
+    ro = V3(
+        jnp.broadcast_to(sc.cam_origin.x, shape),
+        jnp.broadcast_to(sc.cam_origin.y, shape),
+        jnp.broadcast_to(sc.cam_origin.z, shape),
+    )
+    return ro, rd
+
+
+def _trace_tile(
+    sc,
+    backend: KernelBackend,
+    ro: V3,
+    rd: V3,
+    us,  # [depth][U_PER_BOUNCE] uniforms, pre-drawn
+    depth: int,
+    quirks: Quirks,
+    detach: bool = False,
+    remat: bool = False,
+) -> V3:
+    """The fused per-tile bounce loop (tracer.rs:61-103), statically
+    unrolled. Identical math to integrator.tracer.make_bounce_step, minus
+    participating media (megakernel scenes are rejected if any material
+    declares one — see render_frame_pallas).
+
+    detach applies the detached-sampling gradient policy; remat wraps each
+    bounce in jax.checkpoint so the backward kernel's residuals stay at
+    carry size instead of whole-bounce intermediates (VMEM budget)."""
+    shape = jnp.shape(rd.x)
+
+    radiance = zeros3(shape, jnp.float32)
+    throughput = splat3(jnp.ones(shape, jnp.float32))
+    alive = jnp.ones(shape, bool)
+    prev_pdf = (
+        jnp.zeros(shape, jnp.float32)
+        if quirks.primary_mis
+        else jnp.full(shape, -1.0, jnp.float32)
+    )
+    prev_l = zeros3(shape, jnp.float32)
+    prev_hit_dist = jnp.full(shape, -1.0, jnp.float32)
+
+    def bounce(carry, u6):
+        (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist) = carry
+
+        t, normal, material = backend.closest_hit(sc, ro, rd)
+        geo_hit = jnp.isfinite(t)
+
+        if quirks.stale_emitter_gate:
+            gate_dist = jnp.where(geo_hit, t, prev_hit_dist)
+        else:
+            gate_dist = jnp.where(geo_hit, t, jnp.inf)
+        em_hit, em_dist, em_pdf, em_emission = _sample_lights_emitter(
+            sc, ro, rd, gate_dist
+        )
+
+        hit = geo_hit | em_hit
+        hit_dist = jnp.where(em_hit, em_dist, gate_dist)
+
+        bg = backend.background(sc, rd)
+        radiance = radiance + _mask3(alive & ~hit, bg * throughput)
+
+        material = finalize_material(material)
+        fhp = ro + rd * jnp.where(hit, hit_dist, 0.0)
+        entering = dot(normal, rd) <= 0.0
+        ffnormal = where3(entering, normal, -normal)
+        eta = jnp.where(dot(rd, normal) < 0.0, 1.0 / material.ior, material.ior)
+
+        # Alpha pass-through (mirrors integrator.tracer: Blend
+        # stochastic coin u6[6], Mask deterministic cutoff).
+        am = material.alpha_mode
+        alpha_fail = ((am == 1) & (u6[6] > material.opacity)) | (
+            (am == 2) & (material.opacity < material.alpha_cutoff)
+        )
+        passthru = alive & hit & ~em_hit & alpha_fail
+
+        radiance = radiance + _mask3(
+            alive & hit & ~passthru, material.emission * throughput
+        )
+
+        mis_w = power_heuristic(jnp.maximum(prev_pdf, 0.0), em_pdf)
+        if not quirks.primary_mis:
+            mis_w = jnp.where(prev_pdf < 0.0, 1.0, mis_w)
+        radiance = radiance + _mask3(
+            alive & em_hit, em_emission * mis_w * throughput
+        )
+
+        live = alive & hit & ~em_hit
+        shade = live & ~passthru
+
+        ld = _direct_light(
+            sc, backend.any_hit, rd, fhp, ffnormal, material, eta, u6[0:3],
+            detach=detach,
+        )
+        radiance = radiance + _mask3(shade, ld * throughput)
+
+        bs = disney_sample(
+            material, eta, -rd, ffnormal, prev_l, tuple(u6[3:6]), detach
+        )
+        cont = shade & (bs.pdf > 0.0)
+        safe_pdf = jnp.where(bs.pdf > 0.0, bs.pdf, 1.0)
+        throughput = where3(cont, throughput * bs.f / splat3(safe_pdf), throughput)
+
+        ro_next = where3(cont, fhp + bs.l * EPS, ro)
+        rd_next = where3(cont, bs.l, rd)
+        ro = where3(passthru, fhp + rd * EPS, ro_next)
+        rd = where3(passthru, rd, rd_next)
+        prev_pdf = jnp.where(shade, bs.pdf, prev_pdf)
+        prev_l = where3(shade, bs.l, prev_l)
+        prev_hit_dist = jnp.where(alive & hit, hit_dist, prev_hit_dist)
+        alive = cont | passthru
+        return (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist)
+
+    carry = (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist)
+    step = jax.checkpoint(bounce) if remat else bounce
+    for b in range(depth):
+        carry = step(carry, tuple(us[b]))
+    return carry[2]
+
+
+def _make_uniform_fn(shape, inkernel_rng: bool, u_ref):
+    """Sequential uniform source: TPU core PRNG or HBM rows. Call order IS
+    the stream definition — forward and backward kernels must draw in the
+    same order (both use _draw_all)."""
+    inv24 = float(1.0 / (1 << 24))  # Python literal: folds into the kernel.
+    if inkernel_rng:
+
+        def uniform():
+            # Top 24 bits -> [0,1). Mosaic has no u32->f32 cast; the
+            # shifted value is < 2^24 so an i32 bitcast is exact.
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            hi24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+            return hi24.astype(jnp.float32) * inv24
+    else:
+
+        def uniform(_counter=[0]):
+            row = _counter[0]
+            _counter[0] += 1
+            return u_ref[row].reshape(shape)
+
+    return uniform
+
+
+def _draw_all(uniform, depth: int):
+    """Draw the whole tile stream up front in the canonical order:
+    [cam ox, cam oy, bounce0 u0..u6, bounce1 u0..u6, ...]."""
+    ox = uniform()
+    oy = uniform()
+    us = [[uniform() for _ in range(U_PER_BOUNCE)] for _ in range(depth)]
+    return ox, oy, us
+
+
+def _seed_tile_rng(seed_scalar, global_tile_id):
+    """Distinct stream per (frame seed, tile): Weyl-mixed tile id
+    (0x9E3779B9 as a signed i32 literal)."""
+    pltpu.prng_seed(seed_scalar + global_tile_id * jnp.int32(-0x61C88647))
+
+
 def _make_kernel(
+    backend: KernelBackend,
+    meta: tuple,
     width: int,
     height: int,
     spp: int,
     depth: int,
     tile_rows: int,
-    n_lights: int,
-    n_materials: int,
     quirks: Quirks,
     inkernel_rng: bool,
 ):
+    """Forward kernel body: raygen + fused path loop + radiance writeback."""
     shape = (tile_rows, LANES)
     tile = tile_rows * LANES
-    n_pix = width * height
-    inv24 = float(1.0 / (1 << 24))  # Python literal: folds into the kernel.
 
-    def body(sp_ref, seed_ref, u_ref, r_ref, g_ref, b_ref):
-        sc = _SceneScalars(sp_ref, n_lights, n_materials)
+    def body(sp_ref, seed_ref, base_ref, u_ref, r_ref, g_ref, b_ref):
+        sc = backend.view(sp_ref, meta)
         tile_id = pl.program_id(0)
+        global_tile = base_ref[0, 0] + tile_id
 
         if inkernel_rng:
-            # Distinct stream per (frame seed, tile): Weyl-mixed tile id.
-            # Weyl-mixed tile id (0x9E3779B9 as a signed i32 literal).
-            pltpu.prng_seed(seed_ref[0, 0] + tile_id * jnp.int32(-0x61C88647))
+            _seed_tile_rng(seed_ref[0, 0], global_tile)
+        uniform = _make_uniform_fn(shape, inkernel_rng, u_ref)
+        ox, oy, us = _draw_all(uniform, depth)
 
-            def uniform():
-                # Top 24 bits -> [0,1). Mosaic has no u32->f32 cast; the
-                # shifted value is < 2^24 so an i32 bitcast is exact.
-                bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-                hi24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-                return hi24.astype(jnp.float32) * inv24
-        else:
-            def uniform(_counter=[0]):
-                row = _counter[0]
-                _counter[0] += 1
-                return u_ref[row].reshape(shape)
-
-        # ---- Ray generation (tracer.rs:36-47 + pinhole.rs:38-61) ----
-        lane = (
-            tile_id * tile
-            + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        )
-        pid = jnp.minimum(lane // spp, n_pix - 1)
-        px = (pid % width).astype(jnp.float32)
-        py = (pid // width).astype(jnp.float32)
-        cx = px * jnp.float32(1.0 / width)
-        cy = (jnp.float32(height - 1) - py) * jnp.float32(1.0 / height)
-
-        ox = uniform()
-        oy = uniform()
-        rd = (
-            (sc.lower_left - sc.cam_origin)
-            + sc.horizontal * (jnp.float32(1.0 / width) * ox + cx)
-            + sc.vertical * (jnp.float32(1.0 / height) * oy + cy)
-        )
-        rd = normalize(rd)
-        ro = V3(
-            jnp.broadcast_to(sc.cam_origin.x, shape),
-            jnp.broadcast_to(sc.cam_origin.y, shape),
-            jnp.broadcast_to(sc.cam_origin.z, shape),
-        )
-
-        # ---- Path state (integrator.tracer.PathState) ----
-        radiance = zeros3(shape, jnp.float32)
-        throughput = splat3(jnp.ones(shape, jnp.float32))
-        alive = jnp.ones(shape, bool)
-        prev_pdf = (
-            jnp.zeros(shape, jnp.float32)
-            if quirks.primary_mis
-            else jnp.full(shape, -1.0, jnp.float32)
-        )
-        prev_l = zeros3(shape, jnp.float32)
-        prev_hit_dist = jnp.full(shape, -1.0, jnp.float32)
-
-        # ---- Bounce loop, statically unrolled (tracer.rs:61-103) ----
-        for _bounce in range(depth):
-            u6 = [uniform() for _ in range(U_PER_BOUNCE)]
-
-            t, normal, material = _closest_hit(sc, ro, rd)
-            geo_hit = jnp.isfinite(t)
-
-            if quirks.stale_emitter_gate:
-                gate_dist = jnp.where(geo_hit, t, prev_hit_dist)
-            else:
-                gate_dist = jnp.where(geo_hit, t, jnp.inf)
-            em_hit, em_dist, em_pdf, em_emission = _sample_lights_emitter(
-                sc, ro, rd, gate_dist
-            )
-
-            hit = geo_hit | em_hit
-            hit_dist = jnp.where(em_hit, em_dist, gate_dist)
-
-            bg = _background(sc, rd)
-            radiance = radiance + _mask3(alive & ~hit, bg * throughput)
-
-            material = finalize_material(material)
-            fhp = ro + rd * jnp.where(hit, hit_dist, 0.0)
-            entering = dot(normal, rd) <= 0.0
-            ffnormal = where3(entering, normal, -normal)
-            eta = jnp.where(dot(rd, normal) < 0.0, 1.0 / material.ior, material.ior)
-
-            # Alpha pass-through (mirrors integrator.tracer: Blend
-            # stochastic coin u6[6], Mask deterministic cutoff).
-            am = material.alpha_mode
-            alpha_fail = ((am == 1) & (u6[6] > material.opacity)) | (
-                (am == 2) & (material.opacity < material.alpha_cutoff)
-            )
-            passthru = alive & hit & ~em_hit & alpha_fail
-
-            radiance = radiance + _mask3(
-                alive & hit & ~passthru, material.emission * throughput
-            )
-
-            mis_w = power_heuristic(jnp.maximum(prev_pdf, 0.0), em_pdf)
-            if not quirks.primary_mis:
-                mis_w = jnp.where(prev_pdf < 0.0, 1.0, mis_w)
-            radiance = radiance + _mask3(
-                alive & em_hit, em_emission * mis_w * throughput
-            )
-
-            live = alive & hit & ~em_hit
-            shade = live & ~passthru
-
-            ld = _direct_light(sc, rd, fhp, ffnormal, material, eta, u6[0:3])
-            radiance = radiance + _mask3(shade, ld * throughput)
-
-            bs = disney_sample(material, eta, -rd, ffnormal, prev_l, tuple(u6[3:6]))
-            cont = shade & (bs.pdf > 0.0)
-            safe_pdf = jnp.where(bs.pdf > 0.0, bs.pdf, 1.0)
-            throughput = where3(cont, throughput * bs.f / splat3(safe_pdf), throughput)
-
-            ro_next = where3(cont, fhp + bs.l * EPS, ro)
-            rd_next = where3(cont, bs.l, rd)
-            ro = where3(passthru, fhp + rd * EPS, ro_next)
-            rd = where3(passthru, rd, rd_next)
-            prev_pdf = jnp.where(shade, bs.pdf, prev_pdf)
-            prev_l = where3(shade, bs.l, prev_l)
-            prev_hit_dist = jnp.where(alive & hit, hit_dist, prev_hit_dist)
-            alive = cont | passthru
+        lane_base = global_tile * tile
+        ro, rd = _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
+        radiance = _trace_tile(sc, backend, ro, rd, us, depth, quirks)
 
         r_ref[:] = radiance.x
         g_ref[:] = radiance.y
         b_ref[:] = radiance.z
 
     return body
+
+
+def _make_grad_kernel(
+    backend: KernelBackend,
+    meta: tuple,
+    width: int,
+    height: int,
+    spp: int,
+    depth: int,
+    tile_rows: int,
+    quirks: Quirks,
+    inkernel_rng: bool,
+    n_params: int,
+):
+    """Backward kernel body: replay the tile's path (same PRNG stream /
+    same HBM uniform rows as the forward kernel) and run the VJP of the
+    pure path function against the incoming radiance cotangent, entirely
+    in VMEM. Emits this tile's contribution to d(loss)/d(packed params),
+    accumulated across the sequential grid into one (1, P) SMEM output.
+
+    The packed parameters enter jax.vjp as P individual scalars (via
+    _TupleRef) so their cotangents come back as scalars — no in-kernel
+    scatter-adds. Per-bounce jax.checkpoint keeps the VJP residuals at
+    carry size (the FLOPs-for-VMEM trade; ~2x forward recompute)."""
+    shape = (tile_rows, LANES)
+    tile = tile_rows * LANES
+
+    def body(sp_ref, seed_ref, base_ref, u_ref, ctr_ref, ctg_ref, ctb_ref, g_ref):
+        tile_id = pl.program_id(0)
+        global_tile = base_ref[0, 0] + tile_id
+
+        if inkernel_rng:
+            _seed_tile_rng(seed_ref[0, 0], global_tile)
+        uniform = _make_uniform_fn(shape, inkernel_rng, u_ref)
+        # Draw OUTSIDE the differentiated function: pltpu.prng_random_bits
+        # has no JVP rule, and the uniforms are detached constants anyway.
+        ox, oy, us = _draw_all(uniform, depth)
+        lane_base = global_tile * tile
+
+        svals = tuple(sp_ref[0, i] for i in range(n_params))
+
+        def path_fn(*params):
+            # NOTE: no jax.checkpoint here — Mosaic has no lowering for the
+            # remat2 primitive inside a kernel. The full-path VJP residuals
+            # for a (tile_rows, 128) tile fit VMEM at production depths; the
+            # grad path uses a smaller default tile (see _GRAD_TILE_ROWS).
+            sc = backend.view(_TupleRef(params), meta)
+            ro, rd = _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
+            rad = _trace_tile(
+                sc, backend, ro, rd, us, depth, quirks, detach=True
+            )
+            return rad.x, rad.y, rad.z
+
+        _, vjp = jax.vjp(path_fn, *svals)
+        grads = vjp((ctr_ref[:], ctg_ref[:], ctb_ref[:]))
+
+        @pl.when(tile_id == 0)
+        def _init():
+            for i in range(n_params):
+                g_ref[0, i] = 0.0
+
+        for i in range(n_params):
+            g_ref[0, i] += grads[i]
+
+    return body
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _uniform_rows(key, n: int, n_pad: int, depth: int):
+    """Threefry uniforms in the row layout the kernel consumes in draw
+    order: [ox, oy, bounce0 u0..u6, ...] — matches the XLA path's slicing
+    of draw_uniforms output exactly."""
+    cam_u, bounce_u = draw_uniforms(key, n, depth, jnp.float32)
+    rows = [cam_u[:, 0], cam_u[:, 1]]
+    for d in range(depth):
+        for j in range(U_PER_BOUNCE):
+            rows.append(bounce_u[d, :, j])
+    u_all = jnp.stack(rows)  # [U, n]
+    return jnp.pad(u_all, ((0, 0), (0, n_pad - n)), constant_values=0.5)
+
+
+class _KernelConfig(NamedTuple):
+    """Hashable static configuration shared by the fwd/bwd pallas_calls."""
+
+    backend_name: str
+    meta: tuple
+    width: int
+    height: int
+    spp: int
+    depth: int
+    tile_rows: int
+    quirks: Quirks
+    inkernel_rng: bool
+    interpret: bool
+    respect_max_dist: bool = False
+
+
+def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
+    backend = _cfg_backend(cfg)
+    tile_rows = cfg.tile_rows
+    tile = tile_rows * LANES
+    kernel = _make_kernel(
+        backend, cfg.meta, cfg.width, cfg.height, cfg.spp, cfg.depth,
+        tile_rows, cfg.quirks, cfg.inkernel_rng,
+    )
+    out_shape = (num_tiles * tile_rows, LANES)
+    out_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if cfg.inkernel_rng:
+        u_spec = pl.BlockSpec((1, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        u_rows = 2 + cfg.depth * U_PER_BOUNCE
+        u_spec = pl.BlockSpec((u_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, sv.shape[1]), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            u_spec,
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        ),
+        interpret=cfg.interpret,
+    )(sv, seed, base, u_all)
+
+
+def _pallas_backward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all, ct):
+    backend = _cfg_backend(cfg)
+    tile_rows = cfg.tile_rows
+    tile = tile_rows * LANES
+    n_params = int(sv.shape[1])
+    kernel = _make_grad_kernel(
+        backend, cfg.meta, cfg.width, cfg.height, cfg.spp, cfg.depth,
+        tile_rows, cfg.quirks, cfg.inkernel_rng, n_params,
+    )
+    ct_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if cfg.inkernel_rng:
+        u_spec = pl.BlockSpec((1, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        u_rows = 2 + cfg.depth * U_PER_BOUNCE
+        u_spec = pl.BlockSpec((u_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    gsv = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, n_params), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            u_spec,
+            ct_spec,
+            ct_spec,
+            ct_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_params), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, n_params), jnp.float32),
+        interpret=cfg.interpret,
+    )(sv, seed, base, u_all, *ct)
+    return gsv
+
+
+def _cfg_backend(cfg: _KernelConfig) -> KernelBackend:
+    b = _BACKENDS[cfg.backend_name]
+    if cfg.backend_name == "analytical" and cfg.respect_max_dist:
+        b = b._replace(any_hit=_any_hit_respect)
+    return b
+
+
+@lru_cache(maxsize=None)
+def _diff_render(cfg: _KernelConfig, num_tiles: int):
+    """custom-VJP render over the packed scene vector. Forward = the fused
+    megakernel; backward = the replayed-path VJP kernel. seed / base /
+    uniforms get zero cotangents (randomness and tile indexing are not
+    differentiated — the detached-sampling estimator)."""
+
+    @jax.custom_vjp
+    def render(sv, seed, base, u_all):
+        return _pallas_forward(cfg, num_tiles, sv, seed, base, u_all)
+
+    def fwd(sv, seed, base, u_all):
+        return render(sv, seed, base, u_all), (sv, seed, base, u_all)
+
+    def bwd(res, ct):
+        sv, seed, base, u_all = res
+        gsv = _pallas_backward(cfg, num_tiles, sv, seed, base, u_all, ct)
+        return gsv, None, None, jnp.zeros_like(u_all)
+
+    render.defvjp(fwd, bwd)
+    return render
 
 
 def debug_uniform_stream(
@@ -603,7 +1028,7 @@ def debug_uniform_stream(
 
     def body(seed_ref, out_ref):
         tile_id = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0, 0] + tile_id * jnp.int32(-0x61C88647))
+        _seed_tile_rng(seed_ref[0, 0], tile_id)
         for k in range(n_uniforms):
             bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
             hi24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
@@ -640,17 +1065,20 @@ def render_frame_pallas(
 ) -> jnp.ndarray:
     """Render one progressive frame with the fused Pallas megakernel.
 
-    Drop-in for integrator.tracer.render_frame on the analytical scene:
-    returns [H, W, 4] linear RGBA. `uniforms`:
+    Drop-in for integrator.tracer.render_frame on supported scenes
+    (analytical demo; SDF via ops/megakernel_sdf): returns [H, W, 4] linear
+    RGBA. Differentiable w.r.t. scene parameters (custom-VJP backward
+    kernel, detached-sampling estimator). `uniforms`:
     - "inkernel": TPU core PRNG, zero uniform bandwidth (fast path);
     - "hbm": threefry uniforms identical to the XLA integrator's, for
       allclose validation against it.
     """
+    backend = _resolve_backend(scene)
     if scene.procedural_fn is not None:
         raise NotImplementedError(
             "procedural_fn hooks run in the XLA integrator "
             "(integrator.tracer.render_frame); the megakernel is "
-            "specialized to the packed analytical scene"
+            "specialized to packed scenes"
         )
     try:
         # Participating media run in the XLA integrator; reject eagerly
@@ -670,7 +1098,7 @@ def render_frame_pallas(
     return _render_frame_pallas(
         scene, key, width, height,
         spp=spp, quirks=quirks, tile_rows=tile_rows, uniforms=uniforms,
-        interpret=interpret,
+        interpret=interpret, backend_name=backend.name,
     )
 
 
@@ -684,6 +1112,7 @@ def render_frame_pallas(
         "tile_rows",
         "uniforms",
         "interpret",
+        "backend_name",
     ),
 )
 def _render_frame_pallas(
@@ -696,72 +1125,13 @@ def _render_frame_pallas(
     tile_rows: int = 16,
     uniforms: str = "inkernel",
     interpret: bool = False,
+    backend_name: str = "analytical",
 ) -> jnp.ndarray:
-    depth = scene.recursion_depth
+    r, g, b = _render_tiles_pallas(
+        scene, key, width, height, spp, quirks, tile_rows, uniforms,
+        interpret, backend_name,
+    )
     n = width * height * spp
-    tile = tile_rows * LANES
-    num_tiles = pl.cdiv(n, tile)
-    n_pad = num_tiles * tile
-    n_lights = scene.lights.count
-    n_materials = int(scene.params.materials.roughness.shape[0])
-
-    sp = pack_scene(scene, width, height)
-
-    if uniforms == "hbm":
-        cam_u, bounce_u = draw_uniforms(key, n, depth, jnp.float32)
-        # Row layout the kernel consumes in draw order: [ox, oy,
-        # bounce0 u0..u5, bounce1 u0..u5, ...] — matches the XLA path's
-        # slicing of draw_uniforms output exactly.
-        rows = [cam_u[:, 0], cam_u[:, 1]]
-        for d in range(depth):
-            for j in range(U_PER_BOUNCE):
-                rows.append(bounce_u[d, :, j])
-        u_all = jnp.stack(rows)  # [U, n]
-        u_all = jnp.pad(u_all, ((0, 0), (0, n_pad - n)), constant_values=0.5)
-        seed = jnp.zeros((1, 1), jnp.int32)
-        u_rows = 2 + depth * U_PER_BOUNCE
-        u_spec = pl.BlockSpec(
-            (u_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
-        )
-    else:
-        seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
-        u_all = jnp.zeros((1, tile), jnp.float32)  # placeholder, never read
-        u_spec = pl.BlockSpec((1, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    kernel = _make_kernel(
-        width,
-        height,
-        spp,
-        depth,
-        tile_rows,
-        n_lights,
-        n_materials,
-        quirks,
-        inkernel_rng=(uniforms != "hbm"),
-    )
-
-    out_shape = (num_tiles * tile_rows, LANES)
-    out_spec = pl.BlockSpec(
-        (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    r, g, b = pl.pallas_call(
-        kernel,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, sp.shape[1]), lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            u_spec,
-        ],
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-        ),
-        interpret=interpret,
-    )(sp, seed, u_all)
 
     def finish(c):
         c = c.reshape(-1)[:n].reshape(height * width, spp).mean(axis=1)
@@ -772,3 +1142,67 @@ def _render_frame_pallas(
         axis=-1,
     )
     return img
+
+
+def _render_tiles_pallas(
+    scene: Scene,
+    key,
+    width: int,
+    height: int,
+    spp: int,
+    quirks: Quirks,
+    tile_rows: int,
+    uniforms: str,
+    interpret: bool,
+    backend_name: str,
+    tile_base: int | jnp.ndarray = 0,
+    num_tiles: int | None = None,
+):
+    """Shared launch path: returns the raw (padded) radiance tile buffers.
+
+    tile_base/num_tiles carve out a contiguous tile range — the shard_map
+    path (parallel/mesh.render_frame_sharded_pallas) gives each device its
+    own range so per-tile RNG streams and pixel assignment stay globally
+    identical to the single-device launch."""
+    backend = _BACKENDS[backend_name]
+    depth = scene.recursion_depth
+    n = width * height * spp
+    tile = tile_rows * LANES
+    total_tiles = pl.cdiv(n, tile)
+    if num_tiles is None:
+        num_tiles = total_tiles
+    n_pad = total_tiles * tile
+
+    meta = backend.meta_of(scene)
+    respect = backend_name == "analytical" and bool(meta[2])
+    sv = backend.pack(scene, width, height)
+
+    if uniforms == "hbm":
+        u_all = _uniform_rows(key, n, n_pad, depth)
+        if not isinstance(tile_base, int) or tile_base != 0:
+            # carve this device's tile range out of the global rows
+            u_all = jax.lax.dynamic_slice(
+                u_all,
+                (0, jnp.asarray(tile_base) * tile),
+                (u_all.shape[0], num_tiles * tile),
+            )
+        seed = jnp.zeros((1, 1), jnp.int32)
+    else:
+        seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        u_all = jnp.zeros((1, tile), jnp.float32)  # placeholder, never read
+
+    base = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
+    cfg = _KernelConfig(
+        backend_name=backend_name,
+        meta=meta,
+        width=width,
+        height=height,
+        spp=spp,
+        depth=depth,
+        tile_rows=tile_rows,
+        quirks=quirks,
+        inkernel_rng=(uniforms != "hbm"),
+        interpret=interpret,
+        respect_max_dist=respect,
+    )
+    return _diff_render(cfg, int(num_tiles))(sv, seed, base, u_all)

@@ -1,0 +1,287 @@
+"""Pallas megakernel backend for the sphere-traced SDF scene.
+
+The reference names SDF rendering as its thesis ("render classic analytical
+shapes and signed distance functions ... on the CPU",
+/root/reference/Readme.md:76-84) but ships only analytical spheres; round 1
+delivered the SDF backend through the XLA integrator (models/sdf.py). This
+module puts it on the production fast path: the sphere-trace loop
+(fixed-trip fori_loop, where-chained primitives), analytic SDF normals
+(in-kernel jax.grad of the distance field), material argmin, checker and sky
+all run fused in VMEM via the generic megakernel machinery
+(ops/megakernel.py `KernelBackend`).
+
+Gradients follow models/sdf.sphere_trace's implicit-function design: the
+march runs on a DETACHED view of the packed parameters (`_DetachRef` applies
+stop_gradient at every scalar read) and the hit distance is reattached with
+one Newton step, so d(t)/d(params) is the implicit-function-theorem
+derivative — exact, and never differentiates through the 96-step march.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+from ..models.sdf import HIT_EPS, MAX_STEPS, T_MAX, SdfParams, smooth_min
+from ..ops.vecmath import V3, dot, safe_normalize, safe_sqrt, splat3, where3
+from .megakernel import (
+    KernelBackend,
+    _CommonScalars,
+    _pick_material,
+    _v3_list,
+    pack_camera,
+    pack_lights,
+    pack_materials,
+    register_backend,
+)
+
+
+class _DetachRef:
+    """Read adapter applying stop_gradient at every scalar read — gives the
+    sphere-trace march a parameter view AD cannot see through."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, idx):
+        return jax.lax.stop_gradient(self._ref[idx])
+
+
+def pack_sdf_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
+    """Flatten camera + SdfParams + lights + materials (same contract as
+    megakernel.pack_scene; pure jnp, so camera/geometry gradients flow)."""
+    p: SdfParams = scene.params
+    f32 = jnp.float32
+    vals: list = pack_camera(scene, width, height)
+
+    for i in range(p.sphere_radius.shape[0]):
+        vals += [p.sphere_center.x[i], p.sphere_center.y[i], p.sphere_center.z[i]]
+        vals += [p.sphere_radius[i]]
+    for i in range(p.box_round.shape[0]):
+        vals += [p.box_center.x[i], p.box_center.y[i], p.box_center.z[i]]
+        vals += [p.box_half.x[i], p.box_half.y[i], p.box_half.z[i]]
+        vals += [p.box_round[i]]
+    for i in range(p.torus_major.shape[0]):
+        vals += [p.torus_center.x[i], p.torus_center.y[i], p.torus_center.z[i]]
+        vals += [p.torus_major[i], p.torus_minor[i]]
+
+    vals += _v3_list(p.plane_point) + _v3_list(p.plane_normal)
+    vals += [p.smooth_k, p.checker_scale, p.checker_albedo[0], p.checker_albedo[1]]
+    vals += _v3_list(p.sky_horizon) + _v3_list(p.sky_zenith) + [p.sky_scale]
+
+    vals += pack_lights(scene)
+    vals += pack_materials(p.materials)
+
+    flat = jnp.stack([jnp.asarray(x, f32) for x in vals])
+    return flat[None, :]
+
+
+class _SdfScalars(_CommonScalars):
+    """In-kernel view of pack_sdf_scene's layout."""
+
+    def __init__(self, ref, meta):
+        n_lights, S, B, T = meta
+        self._ref = ref
+        self._off = 0
+        get = self._get
+
+        self._read_camera()
+
+        self.spheres = [
+            (V3(get(), get(), get()), get()) for _ in range(S)
+        ]  # (center, radius)
+        self.boxes = [
+            (V3(get(), get(), get()), V3(get(), get(), get()), get())
+            for _ in range(B)
+        ]  # (center, half, round)
+        self.tori = [
+            (V3(get(), get(), get()), get(), get()) for _ in range(T)
+        ]  # (center, major, minor)
+
+        self.plane_point = V3(get(), get(), get())
+        self.plane_normal = V3(get(), get(), get())
+        self.smooth_k = get()
+        self.checker_scale = get()
+        self.checker_albedo = [get(), get()]
+
+        self.sky_horizon = V3(get(), get(), get())
+        self.sky_zenith = V3(get(), get(), get())
+        self.sky_scale = get()
+
+        self._read_lights(n_lights)
+        self._read_materials(S + B + T + 1)
+
+
+def _sdf_view(ref, meta):
+    sc = _SdfScalars(ref, meta)
+    # Detached twin for the sphere-trace march (implicit-function design).
+    sc.detached = _SdfScalars(_DetachRef(ref), meta)
+    return sc
+
+
+# ---------------------------------------------------------------------------
+# Distance field (mirrors models/sdf.py's primitives on scalar params)
+# ---------------------------------------------------------------------------
+
+
+def _distances(sc: _SdfScalars, x: V3) -> list:
+    """Per-primitive distances in material-table order (models/sdf.py
+    _primitive_distances: spheres, boxes, tori, plane)."""
+    ds = []
+    for c, r in sc.spheres:
+        ds.append((x - c).length() - r)
+    for c, h, r in sc.boxes:
+        q = (x - c).abs() - h
+        outside = V3(
+            jnp.maximum(q.x, 0.0), jnp.maximum(q.y, 0.0), jnp.maximum(q.z, 0.0)
+        )
+        out_len = safe_sqrt(dot(outside, outside))
+        inside = jnp.minimum(jnp.maximum(q.x, jnp.maximum(q.y, q.z)), 0.0)
+        ds.append(out_len + inside - r)
+    for c, major, minor in sc.tori:
+        q = x - c
+        ring = safe_sqrt(q.x * q.x + q.z * q.z) - major
+        ds.append(safe_sqrt(ring * ring + q.y * q.y) - minor)
+    ds.append(dot(x - sc.plane_point, sc.plane_normal))
+    return ds
+
+
+def _sdf(sc: _SdfScalars, x: V3) -> jnp.ndarray:
+    ds = _distances(sc, x)
+    d = ds[0]
+    for di in ds[1:]:
+        d = smooth_min(d, di, sc.smooth_k)
+    return d
+
+
+def _normal(sc: _SdfScalars, x: V3) -> V3:
+    """Analytic normal: in-kernel reverse-mode grad of the distance field
+    (models/sdf.sdf_normal), differentiable in both point and params."""
+
+    def f(a, b, c):
+        return jnp.sum(_sdf(sc, V3(a, b, c)))
+
+    gx, gy, gz = jax.grad(f, argnums=(0, 1, 2))(x.x, x.y, x.z)
+    return safe_normalize(V3(gx, gy, gz))
+
+
+def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3):
+    """March t += sdf (detached view) + Newton reattachment for parameter
+    gradients — the in-kernel twin of models/sdf.sphere_trace."""
+    scd = getattr(sc, "detached", sc)
+    sg = jax.lax.stop_gradient
+    ros = V3(sg(ro.x), sg(ro.y), sg(ro.z))
+    rds = V3(sg(rd.x), sg(rd.y), sg(rd.z))
+
+    def body(_, t):
+        # Single f32 carry: a converged lane (|d| < eps, or past t_max)
+        # stops advancing, which is equivalent to the (t, done) carry of
+        # models/sdf.sphere_trace — Mosaic miscompiles i1 vectors as
+        # fori_loop carries, so the done flag is recomputed instead.
+        x = ros + rds * t
+        d = _sdf(scd, x)
+        stop = (jnp.abs(d) < HIT_EPS) | (t > T_MAX)
+        return jnp.where(stop, t, t + d)
+
+    t0 = jnp.zeros_like(ros.x)
+    t_star = jax.lax.fori_loop(0, MAX_STEPS, body, t0)
+
+    x_star = ros + rds * t_star
+    hit = (jnp.abs(_sdf(scd, x_star)) < 2.0 * HIT_EPS) & (t_star <= T_MAX)
+
+    # Newton reattachment (models/sdf.py:238-246): value == t_star,
+    # gradient == implicit-function derivative.
+    n = _normal(scd, x_star)
+    x_diff = ro + rd * t_star
+    f_val = _sdf(sc, x_diff)
+    denom = dot(rds, n)
+    safe_denom = jnp.where(jnp.abs(denom) > 1e-4, denom, 1.0)
+    t_newton = t_star - jnp.where(
+        jnp.abs(denom) > 1e-4, f_val - sg(f_val), 0.0
+    ) / safe_denom
+    t = jnp.where(hit, t_newton, jnp.inf)
+    return t, hit
+
+
+# ---------------------------------------------------------------------------
+# KernelBackend implementation
+# ---------------------------------------------------------------------------
+
+
+def _checker(sc: _SdfScalars, x, z):
+    """models/sdf.py _checker, verbatim (incl. abs before the final fmod)."""
+    x1 = jnp.fmod(jnp.floor(x * sc.checker_scale), 2.0)
+    z1 = jnp.fmod(jnp.floor(z * sc.checker_scale), 2.0)
+    return jnp.where(
+        jnp.fmod(jnp.abs(x1 + z1), 2.0) < 1.0,
+        sc.checker_albedo[0],
+        sc.checker_albedo[1],
+    )
+
+
+def _closest_hit_sdf(sc: _SdfScalars, ro: V3, rd: V3):
+    shape = jnp.shape(rd.x)
+    t, hit = _sphere_trace(sc, ro, rd)
+    x = ro + rd * jnp.where(hit, t, 0.0)
+    normal = _normal(sc, x)
+
+    # Material id: first-min-wins argmin over primitive distances
+    # (models/sdf.nearest_primitive) as a where-chain.
+    ds = _distances(sc, x)
+    idx = jnp.zeros(shape, jnp.int32)
+    best = ds[0]
+    for i, di in enumerate(ds[1:], start=1):
+        take = di < best
+        idx = jnp.where(take, i, idx)
+        best = jnp.where(take, di, best)
+
+    mat = _pick_material(sc, idx, shape)
+    plane_idx = len(ds) - 1
+    c = _checker(sc, x.x, x.z)
+    mat = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(idx == plane_idx, a, b),
+        mat._replace(rgb=splat3(c)),
+        mat,
+    )
+    from ..models.material import default_material
+
+    defaults = default_material(shape, jnp.float32)
+    mat = jax.tree_util.tree_map(lambda a, b: jnp.where(hit, a, b), mat, defaults)
+    return jnp.where(hit, t, jnp.inf), normal, mat
+
+
+def _any_hit_sdf(sc: _SdfScalars, ro: V3, rd: V3, max_dist):
+    """Shadow occlusion bounded by max_dist (models/sdf.any_hit — fixed
+    semantics; the ignore-max_dist quirk is analytical-scene-specific)."""
+    t, hit = _sphere_trace(sc, ro, rd)
+    return hit & (t < max_dist)
+
+
+def _background_sdf(sc: _SdfScalars, rd: V3) -> V3:
+    t = 0.5 * (rd.y + 1.0)
+    c = sc.sky_horizon * (1.0 - t) + sc.sky_zenith * t
+    return c.to_linear() * splat3(sc.sky_scale)
+
+
+def _sdf_meta(scene: Scene) -> tuple:
+    p: SdfParams = scene.params
+    return (
+        scene.lights.count,
+        int(p.sphere_radius.shape[0]),
+        int(p.box_round.shape[0]),
+        int(p.torus_major.shape[0]),
+    )
+
+
+SDF_BACKEND = KernelBackend(
+    name="sdf",
+    pack=pack_sdf_scene,
+    meta_of=_sdf_meta,
+    view=_sdf_view,
+    closest_hit=_closest_hit_sdf,
+    any_hit=_any_hit_sdf,
+    background=_background_sdf,
+)
+
+register_backend(SDF_BACKEND)

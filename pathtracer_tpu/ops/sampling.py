@@ -146,3 +146,37 @@ def uniform_sample_hemisphere(r1, r2) -> V3:
     r = safe_sqrt(1.0 - r1 * r1)
     phi = TWO_PI * r2
     return V3(r * jnp.cos(phi), r * jnp.sin(phi), r1)
+
+
+def hg_phase(cos_theta, g):
+    """Henyey-Greenstein phase function p(cosθ; g) — the volumetric
+    scattering kernel for MediumType::Scatter (the reference declares the
+    enum, material.rs:8-13, but never integrates media; semantics follow
+    the GLSL family the reference ports). Normalized over the sphere:
+    ∫ p dΩ = 1, so it is its own pdf under hg sampling.
+
+    Convention: cosθ = dot(d_in, d_out) between the propagation direction
+    and the scattered direction — g > 0 is forward scattering."""
+    g2 = g * g
+    denom = 1.0 + g2 - 2.0 * g * cos_theta  # >= (1-|g|)^2 > 0 for |g| < 1
+    return INV_PI * 0.25 * (1.0 - g2) / (denom * safe_sqrt(denom))
+
+
+def sample_hg(d: V3, g, r1, r2) -> V3:
+    """Importance-sample the HG phase about the propagation direction `d`
+    (unit). Exactly inverts hg_phase's CDF, so pdf == hg_phase(cosθ; g).
+    The |g| ~ 0 limit falls back to uniform-sphere cosθ = 1 - 2 r2."""
+    iso = jnp.abs(g) < 1e-3
+    g_safe = jnp.where(iso, 0.5, g)  # guarded; iso lanes ignore it
+    sqr = (1.0 - g_safe * g_safe) / (1.0 + g_safe - 2.0 * g_safe * r2)
+    cos_aniso = (1.0 + g_safe * g_safe - sqr * sqr) / (2.0 * g_safe)
+    cos_theta = jnp.where(iso, 1.0 - 2.0 * r2, cos_aniso)
+    cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
+    sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
+    phi = TWO_PI * r1
+    # local sample about +z, rotated onto d
+    local = V3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+    from .vecmath import onb, to_world
+
+    t, b = onb(d)
+    return to_world(t, b, d, local)

@@ -135,6 +135,7 @@ def material_new():
         medium_type=0,
         medium_density=0.0,
         medium_color=v(0.0, 0.0, 0.0),
+        medium_anisotropy=0.0,
         ax=0.0,
         ay=0.0,
     )
@@ -143,6 +144,7 @@ def material_new():
 def material_finalize(m):
     """material.rs:117-131."""
     m["roughness"] = max(m["roughness"], 0.01)
+    m["medium_anisotropy"] = min(max(m["medium_anisotropy"], -0.9), 0.9)
     m["clearcoat_roughness"] = mixf(0.1, 0.001, m["clearcoat_gloss"])
     aspect = math.sqrt(1.0 - m["anisotropic"] * 0.9)
     m["ax"] = max(m["roughness"] / aspect, 0.001)
@@ -595,6 +597,7 @@ class OracleScene:
             g(t.medium.color.y)[idx],
             g(t.medium.color.z)[idx],
         )
+        m["medium_anisotropy"] = float(g(t.medium.anisotropy)[idx])
         return m
 
     def background(self, rd):
@@ -718,6 +721,90 @@ class OracleScene:
 # Integrator (tracer.rs:22-220), sequential
 # ---------------------------------------------------------------------------
 
+def hg_phase(cos_theta, g):
+    """Henyey-Greenstein phase (scalar mirror of ops.sampling.hg_phase)."""
+    g2 = g * g
+    denom = 1.0 + g2 - 2.0 * g * cos_theta
+    denom = max(denom, 1e-30)
+    return 0.25 / math.pi * (1.0 - g2) / (denom * math.sqrt(denom))
+
+
+def sample_hg(d, g, r1, r2):
+    """HG importance sampling about `d` (ops.sampling.sample_hg mirror)."""
+    if abs(g) < 1e-3:
+        cos_theta = 1.0 - 2.0 * r2
+    else:
+        sqr = (1.0 - g * g) / (1.0 + g - 2.0 * g * r2)
+        cos_theta = (1.0 + g * g - sqr * sqr) / (2.0 * g)
+    cos_theta = min(max(cos_theta, -1.0), 1.0)
+    sin_theta = math.sqrt(max(1.0 - cos_theta * cos_theta, 0.0))
+    phi = 2.0 * math.pi * r1
+    t, b = onb(d)
+    local = v(sin_theta * math.cos(phi), sin_theta * math.sin(phi), cos_theta)
+    return local[0] * t + local[1] * b + local[2] * d
+
+
+def scatter_direct_light(scene, rd, scatter_pos, g_aniso, u_pick, r1, r2,
+                         respect_max_dist=False):
+    """NEE from a volumetric scatter point: HG phase replaces the BSDF
+    (scalar mirror of integrator.tracer._scatter_direct_light)."""
+    ld = v(0.0, 0.0, 0.0)
+    n_lights = len(scene.lights)
+    if n_lights == 0:
+        return ld
+
+    index = min(int(u_pick * n_lights), n_lights - 1)
+    light = scene.lights[index]
+    lt = light.get("light_type", 1)
+
+    if lt == 1:
+        center_to_surf = scatter_pos - light["position"]
+        dist_to_center = length(center_to_surf)
+        sampled = uniform_sample_hemisphere(r1, r2)
+        axis = center_to_surf / (dist_to_center if dist_to_center > 0.0 else 1.0)
+        t, b = onb(axis)
+        sampled_dir = sampled[0] * t + sampled[1] * b + sampled[2] * axis
+        light_surface = light["position"] + light["radius"] * sampled_dir
+        direction = light_surface - scatter_pos
+        dist = length(direction)
+        dist_sq = dist * dist
+        direction = direction / (dist if dist > 0.0 else 1.0)
+        normal_ = normalize(light_surface - light["position"])
+        emission = float(n_lights) * light["emission"]
+        denom = light["area"] * 0.5 * abs(dot(normal_, direction))
+        pdf = dist_sq / (denom if denom != 0.0 else 1.0)
+    elif lt == 0:
+        light_surface = light["position"] + light["u"] * r1 + light["v"] * r2
+        direction = light_surface - scatter_pos
+        dist = length(direction)
+        dist_sq = dist * dist
+        direction = direction / (dist if dist > 0.0 else 1.0)
+        normal_ = normalize(cross(light["u"], light["v"]))
+        emission = float(n_lights) * light["emission"]
+        denom = light["area"] * abs(dot(normal_, direction))
+        pdf = dist_sq / (denom if denom != 0.0 else 1.0)
+    else:
+        direction = normalize(light["position"])
+        normal_ = normalize(scatter_pos - light["position"])
+        emission = float(n_lights) * light["emission"]
+        dist = math.inf
+        pdf = 1.0
+
+    if dot(direction, normal_) < 0.0:
+        in_shadow = scene.any_hit(
+            scatter_pos, direction, dist - EPS, respect_max_dist
+        )
+        if not in_shadow:
+            p = hg_phase(dot(rd, direction), g_aniso)
+            mis_weight = 1.0
+            if light["area"] > 0.0:
+                mis_weight = power_heuristic(pdf, p)
+            if p > 0.0 and pdf > 0.0:
+                ld = ld + mis_weight * emission * p / pdf
+
+    return ld
+
+
 def direct_light(scene, rd, state, u_pick, r1, r2, respect_max_dist=False,
                  use_log2=True):
     """tracer.rs:126-170."""
@@ -791,7 +878,7 @@ def render(
     width: int,
     height: int,
     cam_uniforms: np.ndarray,  # [N, 2]
-    bounce_uniforms: np.ndarray,  # [depth, N, U_PER_BOUNCE=7]
+    bounce_uniforms: np.ndarray,  # [depth, N, U_PER_BOUNCE=8]
     stale_emitter_gate: bool = True,
     primary_mis: bool = True,
     respect_max_dist: bool = False,
@@ -832,6 +919,7 @@ def render(
             # Current participating medium (vacuum = type 0); mirrors
             # integrator.tracer's PathState.med_* extension.
             med_type, med_density, med_color = 0, 0.0, v(0.0, 0.0, 0.0)
+            med_aniso = 0.0
 
             for bounce in range(scene.recursion_depth):
                 u6 = bounce_uniforms[bounce, i]
@@ -854,6 +942,27 @@ def render(
                         throughput = throughput * np.exp(
                             -(1.0 - med_color) * (med_density * seg)
                         )
+
+                # MediumType::Scatter: exponential free-flight sampling;
+                # a scatter inside the segment consumes the bounce
+                # (mirrors integrator.tracer's scatter block).
+                if hit and med_type == 2 and med_density > 0.0:
+                    s_free = -math.log(max(1.0 - u6[7], 1e-12)) / max(
+                        med_density, 1e-12
+                    )
+                    if s_free < state["hit_dist"]:
+                        scatter_pos = ro + rd * s_free
+                        throughput = throughput * med_color
+                        radiance = radiance + scatter_direct_light(
+                            scene, rd, scatter_pos, med_aniso,
+                            u6[0], u6[1], u6[2], respect_max_dist,
+                        ) * throughput
+                        l = sample_hg(rd, med_aniso, u6[3], u6[4])
+                        prev_l = l
+                        prev_pdf = hg_phase(dot(rd, l), med_aniso)
+                        ro = scatter_pos
+                        rd = l
+                        continue
 
                 if not hit:
                     radiance = radiance + scene.background(rd) * throughput
@@ -924,9 +1033,11 @@ def render(
                         med_type = mat_m["medium_type"]
                         med_density = mat_m["medium_density"]
                         med_color = mat_m["medium_color"].copy()
+                        med_aniso = mat_m["medium_anisotropy"]
                     else:  # exited to vacuum
                         med_type, med_density = 0, 0.0
                         med_color = v(0.0, 0.0, 0.0)
+                        med_aniso = 0.0
 
                 rd = l
                 ro = state["fhp"] + EPS * rd

@@ -144,6 +144,84 @@ def render_frame_sharded(
     return img
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "width", "height", "spp", "quirks", "tile_rows", "uniforms",
+        "interpret",
+    ),
+)
+def render_frame_sharded_pallas(
+    scene: Scene,
+    key,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp: int = 1,
+    quirks: Quirks = VERBATIM,
+    tile_rows: int = 16,
+    uniforms: str = "inkernel",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sharded megakernel render: the fused Pallas path under shard_map.
+
+    ALL devices of `mesh` (both axes flattened) form one tile axis; each
+    device launches the megakernel over its contiguous range of global
+    tiles. Because every tile's RNG stream depends only on (frame seed,
+    GLOBAL tile id) — in-kernel PRNG is seeded per global tile, and hbm
+    threefry rows are sliced by global tile — the sharded render is
+    numerically IDENTICAL to the single-device `render_frame_pallas`
+    launch, whatever the device count (the property the reference's
+    per-thread ThreadRng scanline pool could never have,
+    rust-pathtracer/src/tracer.rs:29-44).
+
+    Differentiable like the single-device path: shard_map's replicated
+    in_specs make jax.grad psum the per-device packed-parameter cotangents
+    from the backward kernel across the mesh automatically.
+
+    Note: uniforms="hbm" materializes the full-frame threefry rows on every
+    device before slicing — intended for parity validation at small sizes;
+    the production mode is "inkernel" (zero uniform bandwidth).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.megakernel import LANES, _render_tiles_pallas, _resolve_backend
+
+    backend_name = _resolve_backend(scene).name
+    devs = mesh.devices.reshape(-1)
+    ndev = int(devs.size)
+    flat_mesh = Mesh(devs, ("rays",))
+    n = width * height * spp
+    tile = tile_rows * LANES
+    total_tiles = -(-n // tile)
+    local_tiles = -(-total_tiles // ndev)
+
+    def shard_fn(scene, key):
+        idx = jax.lax.axis_index("rays")
+        base = (idx * local_tiles).astype(jnp.int32)
+        return _render_tiles_pallas(
+            scene, key, width, height, spp, quirks, tile_rows, uniforms,
+            interpret, backend_name, tile_base=base, num_tiles=local_tiles,
+        )
+
+    r, g, b = shard_map(
+        shard_fn,
+        mesh=flat_mesh,
+        in_specs=(P(), P()),
+        out_specs=P("rays"),
+        check_rep=False,
+    )(scene, key)
+
+    def finish(c):
+        c = c.reshape(-1)[:n].reshape(height * width, spp).mean(axis=1)
+        return c.reshape(height, width)
+
+    return jnp.stack(
+        [finish(r), finish(g), finish(b), jnp.ones((height, width), jnp.float32)],
+        axis=-1,
+    )
+
+
 def make_train_step_sharded(
     mesh: Mesh,
     select: Iterable[str],
@@ -153,17 +231,29 @@ def make_train_step_sharded(
     spp: int,
     lr: float = 2e-2,
     quirks: Quirks = VERBATIM,
+    kernel: str = "xla",
+    tile_rows: int = 16,
+    uniforms: str = "inkernel",
+    interpret: bool = False,
 ):
     """Build a jitted full inverse-rendering training step over the mesh.
 
-    The step: sharded differentiable render (detached estimator +
-    per-bounce remat) -> MSE against the target (sharded over "tiles") ->
-    grads w.r.t. the selected scene leaves (replicated; XLA all-reduces
-    their gradients across the mesh) -> Adam update.
+    The step: sharded differentiable render (detached estimator) -> MSE
+    against the target (sharded over "tiles") -> grads w.r.t. the selected
+    scene leaves (replicated; XLA all-reduces their gradients across the
+    mesh) -> Adam update.
 
-    Returns (step_fn, init_state) where
-    step_fn(train_state, scene_rest, target, key) -> (train_state, loss).
+    kernel="xla" (default) renders through the GSPMD-sharded XLA integrator
+    with per-bounce remat; kernel="pallas" renders through the sharded
+    megakernel (render_frame_sharded_pallas) whose backward pass is the
+    fused VJP kernel — the production fast path for inverse rendering at
+    scale. tile_rows/uniforms/interpret apply to the pallas kernel only.
+
+    Returns (step_fn, init_state, names) where
+    step_fn(train, opt_state, target, key) -> (train, opt_state, loss).
     """
+    if kernel not in ("xla", "pallas"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     import optax
 
     from ..integrator.inverse import select_leaves
@@ -177,10 +267,17 @@ def make_train_step_sharded(
 
         def loss_fn(tv):
             s = rebuild(tv)
-            img = render_frame_sharded(
-                s, key, mesh, width, height, spp=spp, quirks=quirks,
-                detach=True, remat=True,
-            )
+            if kernel == "pallas":
+                img = render_frame_sharded_pallas(
+                    s, key, mesh, width, height, spp=spp, quirks=quirks,
+                    tile_rows=tile_rows, uniforms=uniforms,
+                    interpret=interpret,
+                )
+            else:
+                img = render_frame_sharded(
+                    s, key, mesh, width, height, spp=spp, quirks=quirks,
+                    detach=True, remat=True,
+                )
             flat = img[..., :3].reshape(-1, 3)
             flat = jax.lax.with_sharding_constraint(
                 flat, NamedSharding(mesh, P("tiles", None))

@@ -29,9 +29,12 @@ class RenderConfig:
     scene: str = "analytical"  # scene registry key
     quirks: str = "verbatim"  # "verbatim" | "fixed"
     # Execution
-    tile_rays: int = 0  # 0 = whole frame in one launch; else rays per launch
-    spp_shards: int = 1  # sample-axis sharding factor (multi-chip)
-    unroll: int = 1  # bounce-loop unroll factor for XLA
+    kernel: str = "xla"  # "xla" (lax.scan integrator) | "pallas" (megakernel)
+    tile_rows: int = 16  # megakernel tile height (rays per tile = 128*rows)
+    rng: str = "inkernel"  # megakernel uniforms: "inkernel" | "hbm"
+    mesh_tiles: int = 1  # device-mesh tile axis (>1 = sharded render)
+    mesh_spp: int = 1  # device-mesh sample axis (XLA kernel only)
+    unroll: int = 1  # bounce-loop unroll factor for the XLA integrator
 
     @property
     def dtype(self):

@@ -2,7 +2,14 @@
 """Measure forward+backward rays/s on one chip at 1080p (BASELINE.md row 2).
 
 Gradient of a scalar pixel loss wrt (light emission, material albedo) through
-the full bounce loop with the detached-sampling estimator, remat'd per bounce.
+the full bounce loop with the detached-sampling estimator. Two paths:
+
+- pallas (default on TPU): the megakernel's custom-VJP backward kernel
+  (ops/megakernel.py) — the tile's path is replayed in VMEM and the VJP of
+  the pure path function runs fused against the image cotangent.
+- xla (fallback / --xla): the lax.scan integrator with per-bounce remat
+  (round-1 baseline: 8.18e6 rays/s).
+
 Chained accumulator + host readback, same methodology as bench.py.
 """
 
@@ -19,7 +26,9 @@ import jax.numpy as jnp
 
 def main() -> int:
     import pathtracer_tpu as pt
+    from pathtracer_tpu.ops.megakernel import render_frame_pallas
 
+    use_xla = "--xla" in sys.argv or jax.devices()[0].platform == "cpu"
     width, height, spp, depth, frames = 1920, 1080, 1, 4, 20
     scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=depth)
 
@@ -30,9 +39,14 @@ def main() -> int:
                 materials=scene.params.materials._replace(rgb=rgb)
             ),
         )
-        img = pt.render_frame(
-            s, key, width, height, spp=spp, detach=True, remat=True
-        )
+        if use_xla:
+            img = pt.render_frame(
+                s, key, width, height, spp=spp, detach=True, remat=True
+            )
+        else:
+            img = render_frame_pallas(
+                s, key, width, height, spp=spp, uniforms="inkernel", tile_rows=8
+            )
         return jnp.mean(img[..., :3] ** 2)
 
     grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
@@ -58,6 +72,7 @@ def main() -> int:
                 "metric": "fwd_bwd_rays_per_s_1080p_depth4",
                 "value": rays / dt,
                 "unit": "rays/s/chip",
+                "path": "xla" if use_xla else "pallas_custom_vjp",
             }
         )
     )

@@ -6,8 +6,10 @@ they are implemented (GLSL-original semantics) in the XLA integrator and
 the f64 oracle: a ray transmitted through a surface whose material carries
 a medium picks it up; while inside, Absorb attenuates throughput by
 exp(-(1-color)·density·t) per segment and Emissive adds color·density·t.
-Scatter media are not yet implemented (treated as vacuum). The Pallas
-megakernel rejects media scenes eagerly (NotImplementedError).
+Scatter performs HG-phase single scattering: exponential free-flight
+sampling, NEE at the scatter point with the phase function, HG-sampled
+continuation (integrator.tracer scatter block + cpu_oracle mirror). The
+Pallas megakernel rejects media scenes eagerly (NotImplementedError).
 """
 
 import jax
@@ -22,7 +24,8 @@ from oracle_cache import cached_render
 W, H = 24, 16
 
 
-def _glass_scene(dtype, med_type=None, density=0.8, color=(0.9, 0.2, 0.1)):
+def _glass_scene(dtype, med_type=None, density=0.8, color=(0.9, 0.2, 0.1),
+                 anisotropy=0.0):
     """Analytical scene with sphere1 made transmissive (glass), optionally
     filled with a participating medium."""
     scene = pt.make_analytical_scene(dtype=dtype, recursion_depth=6)
@@ -43,6 +46,7 @@ def _glass_scene(dtype, med_type=None, density=0.8, color=(0.9, 0.2, 0.1)):
                 y=med.color.y.at[1].set(color[1]),
                 z=med.color.z.at[1].set(color[2]),
             ),
+            anisotropy=med.anisotropy.at[1].set(anisotropy),
         )
         mats = mats._replace(medium=med)
     return scene.replace(params=scene.params._replace(materials=mats))
@@ -112,6 +116,59 @@ def test_absorb_darkens_emissive_brightens():
     assert dark[..., :3].sum() < base[..., :3].sum()
     assert bright[..., :3].sum() > base[..., :3].sum()
     assert np.isfinite(dark).all() and np.isfinite(bright).all()
+
+
+def test_scatter_parity_vs_oracle():
+    """HG single scattering: the XLA integrator and the scalar f64 oracle
+    must agree exactly (same uniforms, same free-flight/phase math)."""
+    scene = _glass_scene(
+        jnp.float64, med_type=pt.MediumType.SCATTER, density=1.5,
+        color=(0.8, 0.8, 0.9), anisotropy=0.4,
+    )
+    key = jax.random.PRNGKey(13)
+    img_jax = np.asarray(pt.render_frame(scene, key, W, H))
+    img_oracle = _oracle_render(scene, key)
+    np.testing.assert_allclose(img_jax, img_oracle, rtol=1e-9, atol=1e-11)
+
+
+def test_scatter_parity_isotropic():
+    """g = 0 exercises the uniform-sphere fallback of sample_hg."""
+    scene = _glass_scene(
+        jnp.float64, med_type=pt.MediumType.SCATTER, density=2.0,
+        color=(1.0, 1.0, 1.0), anisotropy=0.0,
+    )
+    key = jax.random.PRNGKey(14)
+    img_jax = np.asarray(pt.render_frame(scene, key, W, H))
+    img_oracle = _oracle_render(scene, key)
+    np.testing.assert_allclose(img_jax, img_oracle, rtol=1e-9, atol=1e-11)
+
+
+def test_scatter_brighter_than_absorb():
+    """A white scatter medium redirects light instead of destroying it, so
+    at equal density it must keep more energy than a black absorber, and
+    (being attenuating + redirecting) stay finite."""
+    key = jax.random.PRNGKey(5)
+    spp = 8
+    absorb = np.asarray(
+        pt.render_frame(
+            _glass_scene(
+                jnp.float64, med_type=pt.MediumType.ABSORB, density=3.0,
+                color=(0.0, 0.0, 0.0),
+            ),
+            key, W, H, spp=spp,
+        )
+    )
+    scat = np.asarray(
+        pt.render_frame(
+            _glass_scene(
+                jnp.float64, med_type=pt.MediumType.SCATTER, density=3.0,
+                color=(1.0, 1.0, 1.0),
+            ),
+            key, W, H, spp=spp,
+        )
+    )
+    assert np.isfinite(scat).all()
+    assert scat[..., :3].sum() > absorb[..., :3].sum()
 
 
 def test_megakernel_rejects_media():
