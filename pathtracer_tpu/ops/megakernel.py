@@ -49,6 +49,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -622,27 +623,9 @@ def _raygen(sc, shape, lane_base, spp, width, height, ox, oy):
     return ro, rd
 
 
-def _trace_tile(
-    sc,
-    backend: KernelBackend,
-    ro: V3,
-    rd: V3,
-    us,  # [depth][U_PER_BOUNCE] uniforms, pre-drawn
-    depth: int,
-    quirks: Quirks,
-    detach: bool = False,
-    remat: bool = False,
-) -> V3:
-    """The fused per-tile bounce loop (tracer.rs:61-103), statically
-    unrolled. Identical math to integrator.tracer.make_bounce_step, minus
-    participating media (megakernel scenes are rejected if any material
-    declares one — see render_frame_pallas).
-
-    detach applies the detached-sampling gradient policy; remat wraps each
-    bounce in jax.checkpoint so the backward kernel's residuals stay at
-    carry size instead of whole-bounce intermediates (VMEM budget)."""
+def _tile_init_carry(ro: V3, rd: V3, quirks: Quirks):
+    """Fresh per-tile path carry (State::new / ScatterSampleRec::new)."""
     shape = jnp.shape(rd.x)
-
     radiance = zeros3(shape, jnp.float32)
     throughput = splat3(jnp.ones(shape, jnp.float32))
     alive = jnp.ones(shape, bool)
@@ -653,82 +636,102 @@ def _trace_tile(
     )
     prev_l = zeros3(shape, jnp.float32)
     prev_hit_dist = jnp.full(shape, -1.0, jnp.float32)
+    return (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist)
 
-    def bounce(carry, u6):
-        (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist) = carry
 
-        t, normal, material = backend.closest_hit(sc, ro, rd)
-        geo_hit = jnp.isfinite(t)
+def _tile_bounce(sc, backend: KernelBackend, carry, u6, quirks: Quirks,
+                 detach: bool = False):
+    """One bounce of the fused tile loop (tracer.rs:61-103) — identical
+    math to integrator.tracer.make_bounce_step, minus participating media
+    (megakernel scenes are rejected if any material declares one; see
+    render_frame_pallas). Standalone so the reverse-sweep backward kernel
+    can re-linearize it one bounce at a time."""
+    (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist) = carry
 
-        if quirks.stale_emitter_gate:
-            gate_dist = jnp.where(geo_hit, t, prev_hit_dist)
-        else:
-            gate_dist = jnp.where(geo_hit, t, jnp.inf)
-        em_hit, em_dist, em_pdf, em_emission = _sample_lights_emitter(
-            sc, ro, rd, gate_dist
-        )
+    t, normal, material = backend.closest_hit(sc, ro, rd)
+    geo_hit = jnp.isfinite(t)
 
-        hit = geo_hit | em_hit
-        hit_dist = jnp.where(em_hit, em_dist, gate_dist)
+    if quirks.stale_emitter_gate:
+        gate_dist = jnp.where(geo_hit, t, prev_hit_dist)
+    else:
+        gate_dist = jnp.where(geo_hit, t, jnp.inf)
+    em_hit, em_dist, em_pdf, em_emission = _sample_lights_emitter(
+        sc, ro, rd, gate_dist
+    )
 
-        bg = backend.background(sc, rd)
-        radiance = radiance + _mask3(alive & ~hit, bg * throughput)
+    hit = geo_hit | em_hit
+    hit_dist = jnp.where(em_hit, em_dist, gate_dist)
 
-        material = finalize_material(material)
-        fhp = ro + rd * jnp.where(hit, hit_dist, 0.0)
-        entering = dot(normal, rd) <= 0.0
-        ffnormal = where3(entering, normal, -normal)
-        eta = jnp.where(dot(rd, normal) < 0.0, 1.0 / material.ior, material.ior)
+    bg = backend.background(sc, rd)
+    radiance = radiance + _mask3(alive & ~hit, bg * throughput)
 
-        # Alpha pass-through (mirrors integrator.tracer: Blend
-        # stochastic coin u6[6], Mask deterministic cutoff).
-        am = material.alpha_mode
-        alpha_fail = ((am == 1) & (u6[6] > material.opacity)) | (
-            (am == 2) & (material.opacity < material.alpha_cutoff)
-        )
-        passthru = alive & hit & ~em_hit & alpha_fail
+    material = finalize_material(material)
+    fhp = ro + rd * jnp.where(hit, hit_dist, 0.0)
+    entering = dot(normal, rd) <= 0.0
+    ffnormal = where3(entering, normal, -normal)
+    eta = jnp.where(dot(rd, normal) < 0.0, 1.0 / material.ior, material.ior)
 
-        radiance = radiance + _mask3(
-            alive & hit & ~passthru, material.emission * throughput
-        )
+    # Alpha pass-through (mirrors integrator.tracer: Blend
+    # stochastic coin u6[6], Mask deterministic cutoff).
+    am = material.alpha_mode
+    alpha_fail = ((am == 1) & (u6[6] > material.opacity)) | (
+        (am == 2) & (material.opacity < material.alpha_cutoff)
+    )
+    passthru = alive & hit & ~em_hit & alpha_fail
 
-        mis_w = power_heuristic(jnp.maximum(prev_pdf, 0.0), em_pdf)
-        if not quirks.primary_mis:
-            mis_w = jnp.where(prev_pdf < 0.0, 1.0, mis_w)
-        radiance = radiance + _mask3(
-            alive & em_hit, em_emission * mis_w * throughput
-        )
+    radiance = radiance + _mask3(
+        alive & hit & ~passthru, material.emission * throughput
+    )
 
-        live = alive & hit & ~em_hit
-        shade = live & ~passthru
+    mis_w = power_heuristic(jnp.maximum(prev_pdf, 0.0), em_pdf)
+    if not quirks.primary_mis:
+        mis_w = jnp.where(prev_pdf < 0.0, 1.0, mis_w)
+    radiance = radiance + _mask3(
+        alive & em_hit, em_emission * mis_w * throughput
+    )
 
-        ld = _direct_light(
-            sc, backend.any_hit, rd, fhp, ffnormal, material, eta, u6[0:3],
-            detach=detach,
-        )
-        radiance = radiance + _mask3(shade, ld * throughput)
+    live = alive & hit & ~em_hit
+    shade = live & ~passthru
 
-        bs = disney_sample(
-            material, eta, -rd, ffnormal, prev_l, tuple(u6[3:6]), detach
-        )
-        cont = shade & (bs.pdf > 0.0)
-        safe_pdf = jnp.where(bs.pdf > 0.0, bs.pdf, 1.0)
-        throughput = where3(cont, throughput * bs.f / splat3(safe_pdf), throughput)
+    ld = _direct_light(
+        sc, backend.any_hit, rd, fhp, ffnormal, material, eta, u6[0:3],
+        detach=detach,
+    )
+    radiance = radiance + _mask3(shade, ld * throughput)
 
-        ro_next = where3(cont, fhp + bs.l * EPS, ro)
-        rd_next = where3(cont, bs.l, rd)
-        ro = where3(passthru, fhp + rd * EPS, ro_next)
-        rd = where3(passthru, rd, rd_next)
-        prev_pdf = jnp.where(shade, bs.pdf, prev_pdf)
-        prev_l = where3(shade, bs.l, prev_l)
-        prev_hit_dist = jnp.where(alive & hit, hit_dist, prev_hit_dist)
-        alive = cont | passthru
-        return (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist)
+    bs = disney_sample(
+        material, eta, -rd, ffnormal, prev_l, tuple(u6[3:6]), detach
+    )
+    cont = shade & (bs.pdf > 0.0)
+    safe_pdf = jnp.where(bs.pdf > 0.0, bs.pdf, 1.0)
+    throughput = where3(cont, throughput * bs.f / splat3(safe_pdf), throughput)
 
-    carry = (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist)
-    step = jax.checkpoint(bounce) if remat else bounce
+    ro_next = where3(cont, fhp + bs.l * EPS, ro)
+    rd_next = where3(cont, bs.l, rd)
+    ro = where3(passthru, fhp + rd * EPS, ro_next)
+    rd = where3(passthru, rd, rd_next)
+    prev_pdf = jnp.where(shade, bs.pdf, prev_pdf)
+    prev_l = where3(shade, bs.l, prev_l)
+    prev_hit_dist = jnp.where(alive & hit, hit_dist, prev_hit_dist)
+    alive = cont | passthru
+    return (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist)
+
+
+def _trace_tile(
+    sc,
+    backend: KernelBackend,
+    ro: V3,
+    rd: V3,
+    us,  # [depth][per-bounce uniforms], pre-drawn
+    depth: int,
+    quirks: Quirks,
+    detach: bool = False,
+) -> V3:
+    """The fused per-tile bounce loop, statically unrolled (the vectorized
+    tracer.rs:61-103). Returns the tile's radiance."""
+    carry = _tile_init_carry(ro, rd, quirks)
     for b in range(depth):
-        carry = step(carry, tuple(us[b]))
+        carry = _tile_bounce(sc, backend, carry, tuple(us[b]), quirks, detach)
     return carry[2]
 
 
@@ -755,12 +758,18 @@ def _make_uniform_fn(shape, inkernel_rng: bool, u_ref):
     return uniform
 
 
-def _draw_all(uniform, depth: int):
+def _draw_all(uniform, depth: int, inkernel: bool):
     """Draw the whole tile stream up front in the canonical order:
-    [cam ox, cam oy, bounce0 u0..u6, bounce1 u0..u6, ...]."""
+    [cam ox, cam oy, bounce0 u0.., bounce1 u0.., ...].
+
+    hbm mode must consume all U_PER_BOUNCE rows per bounce to stay aligned
+    with the XLA integrator's threefry layout; the in-kernel stream is
+    self-defined and skips the scatter-distance slot u[7] (the megakernel
+    rejects volumetric media, so it is always dead weight there)."""
+    n = U_PER_BOUNCE - 1 if inkernel else U_PER_BOUNCE
     ox = uniform()
     oy = uniform()
-    us = [[uniform() for _ in range(U_PER_BOUNCE)] for _ in range(depth)]
+    us = [[uniform() for _ in range(n)] for _ in range(depth)]
     return ox, oy, us
 
 
@@ -793,7 +802,7 @@ def _make_kernel(
         if inkernel_rng:
             _seed_tile_rng(seed_ref[0, 0], global_tile)
         uniform = _make_uniform_fn(shape, inkernel_rng, u_ref)
-        ox, oy, us = _draw_all(uniform, depth)
+        ox, oy, us = _draw_all(uniform, depth, inkernel_rng)
 
         lane_base = global_tile * tile
         ro, rd = _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
@@ -818,16 +827,23 @@ def _make_grad_kernel(
     inkernel_rng: bool,
     n_params: int,
 ):
-    """Backward kernel body: replay the tile's path (same PRNG stream /
-    same HBM uniform rows as the forward kernel) and run the VJP of the
-    pure path function against the incoming radiance cotangent, entirely
-    in VMEM. Emits this tile's contribution to d(loss)/d(packed params),
-    accumulated across the sequential grid into one (1, P) SMEM output.
+    """Backward kernel body: reverse-sweep VJP of the tile's path.
 
-    The packed parameters enter jax.vjp as P individual scalars (via
-    _TupleRef) so their cotangents come back as scalars — no in-kernel
-    scatter-adds. Per-bounce jax.checkpoint keeps the VJP residuals at
-    carry size (the FLOPs-for-VMEM trade; ~2x forward recompute)."""
+    Replays the forward path with the SAME uniforms as the forward kernel
+    (in-kernel PRNG re-seeded per global tile, or the identical HBM
+    threefry rows), storing only the per-bounce loop CARRIES (~17 tile
+    arrays each); then walks the bounces in REVERSE, re-linearizing ONE
+    bounce at a time with jax.vjp and chaining the carry cotangent — the
+    manual equivalent of jax.checkpoint (whose remat2 primitive Mosaic
+    cannot lower). Peak VMEM is one bounce's linearization residuals plus
+    the carry stack, instead of the whole path's residuals — which is what
+    lets the gradient path run at production depths.
+
+    The packed parameters enter every jax.vjp as P individual scalars (via
+    _TupleRef) so their cotangents come back as scalars (no in-kernel
+    scatter-adds); per-bounce parameter cotangents accumulate into one
+    (1, P) SMEM output across the sequential grid. The gradient estimator
+    is the detached-sampling policy, matching the XLA integrator."""
     shape = (tile_rows, LANES)
     tile = tile_rows * LANES
 
@@ -838,27 +854,59 @@ def _make_grad_kernel(
         if inkernel_rng:
             _seed_tile_rng(seed_ref[0, 0], global_tile)
         uniform = _make_uniform_fn(shape, inkernel_rng, u_ref)
-        # Draw OUTSIDE the differentiated function: pltpu.prng_random_bits
-        # has no JVP rule, and the uniforms are detached constants anyway.
-        ox, oy, us = _draw_all(uniform, depth)
+        # Draw OUTSIDE anything differentiated: pltpu.prng_random_bits has
+        # no JVP rule, and the uniforms are detached constants anyway.
+        ox, oy, us = _draw_all(uniform, depth, inkernel_rng)
         lane_base = global_tile * tile
 
         svals = tuple(sp_ref[0, i] for i in range(n_params))
 
-        def path_fn(*params):
-            # NOTE: no jax.checkpoint here — Mosaic has no lowering for the
-            # remat2 primitive inside a kernel. The full-path VJP residuals
-            # for a (tile_rows, 128) tile fit VMEM at production depths; the
-            # grad path uses a smaller default tile (see _GRAD_TILE_ROWS).
+        def raygen_p(params):
             sc = backend.view(_TupleRef(params), meta)
-            ro, rd = _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
-            rad = _trace_tile(
-                sc, backend, ro, rd, us, depth, quirks, detach=True
-            )
-            return rad.x, rad.y, rad.z
+            return _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
 
-        _, vjp = jax.vjp(path_fn, *svals)
-        grads = vjp((ctr_ref[:], ctg_ref[:], ctb_ref[:]))
+        def bounce_p(carry, params, u6):
+            sc = backend.view(_TupleRef(params), meta)
+            return _tile_bounce(sc, backend, carry, u6, quirks, detach=True)
+
+        # ---- Forward sweep: store the carry entering each bounce ----
+        ro, rd = raygen_p(svals)
+        carry = _tile_init_carry(ro, rd, quirks)
+        carries = []
+        for b in range(depth):
+            carries.append(carry)
+            carry = bounce_p(carry, svals, tuple(us[b]))
+
+        # ---- Reverse sweep ----
+        # Cotangent of the final carry: the image cotangent lands on the
+        # radiance slot; bool leaves (alive) take float0 per JAX's
+        # convention for non-differentiable outputs.
+        def ct_zero(x):
+            if x.dtype == jnp.bool_:
+                return _np.zeros(jnp.shape(x), jax.dtypes.float0)
+            return jnp.zeros(jnp.shape(x), x.dtype)
+
+        ct_carry = jax.tree_util.tree_map(ct_zero, carry)
+        ct_carry = (
+            ct_carry[0],
+            ct_carry[1],
+            V3(ctr_ref[:], ctg_ref[:], ctb_ref[:]),
+        ) + ct_carry[3:]
+
+        grads = [jnp.zeros((), jnp.float32) for _ in range(n_params)]
+        for b in reversed(range(depth)):
+            u_b = tuple(us[b])
+            _, vjp = jax.vjp(
+                lambda c, p: bounce_p(c, p, u_b), carries[b], svals
+            )
+            ct_carry, gp = vjp(ct_carry)
+            grads = [a + g for a, g in zip(grads, gp)]
+
+        # Camera gradients: the initial (ro, rd) depend on the packed
+        # camera basis through raygen.
+        _, vjp_rg = jax.vjp(raygen_p, svals)
+        (gp0,) = vjp_rg((ct_carry[0], ct_carry[1]))
+        grads = [a + g for a, g in zip(grads, gp0)]
 
         @pl.when(tile_id == 0)
         def _init():

@@ -22,13 +22,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r"""
 import sys
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 from pathtracer_tpu.parallel import launch
 
 launch.initialize(
-    coordinator={coord!r},
+    coordinator="@COORD@",
     num_processes=2,
-    process_id={pid},
+    process_id=@PID@,
     cpu_devices_per_process=4,
     cpu_collectives="gloo",
 )
@@ -38,6 +38,14 @@ assert jax.device_count() == 8, jax.device_count()
 loss = launch.run_demo(width=32, height=16, steps=2)
 print("FINAL_LOSS", f"{loss:.10e}", flush=True)
 """
+
+
+def _worker_src(coord: str, pid: int) -> str:
+    return (
+        _WORKER.replace("@REPO@", REPO)
+        .replace("@COORD@", coord)
+        .replace("@PID@", str(pid))
+    )
 
 
 def _free_port() -> int:
@@ -58,7 +66,7 @@ def test_two_process_sharded_train_step(tmp_path):
     for pid in range(2):
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", _WORKER.format(repo=REPO, coord=coord, pid=pid)],
+                [sys.executable, "-c", _worker_src(coord, pid)],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
                 text=True,
