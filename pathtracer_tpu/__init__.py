@@ -28,9 +28,11 @@ from .integrator.tracer import (
     sample_light_distant,
     sample_light_rect,
     sample_light_spherical,
+    measure_occupancy,
     sample_lights_emitter,
     trace,
 )
+from .integrator.inverse import inverse_render, render_loss
 from .models.analytical import (
     AnalyticalParams,
     default_params as analytical_default_params,

@@ -134,6 +134,8 @@ def inverse_render(
     crn: bool = True,
     unbiased: bool = True,
     verbose: bool = False,
+    kernel: str = "xla",
+    tile_rows: int = 8,
 ) -> OptResult:
     """Adam-optimize the selected scene leaves against a target image.
 
@@ -148,6 +150,13 @@ def inverse_render(
     crn=False draws fresh keys per step (unbiased stochastic gradient).
     param_transform, if given, maps the rebuilt scene before rendering
     (e.g. clamping to valid ranges).
+
+    kernel="pallas" runs both renders AND the gradient through the fused
+    megakernel with its custom-VJP backward kernel (~15x the XLA path's
+    fwd+bwd throughput on TPU; see BASELINE.md). Limits: packed scenes
+    only (analytical / SDF, no media, no procedural_fn) and recursion
+    depth <= 6 on a v5e (deeper gradient kernels exceed compile limits —
+    use the default XLA path there). tile_rows applies to the megakernel.
     """
     import optax
 
@@ -165,6 +174,13 @@ def inverse_render(
                 s = param_transform(s)
 
             def render(kk):
+                if kernel == "pallas":
+                    from ..ops.megakernel import render_frame_pallas
+
+                    return render_frame_pallas(
+                        s, kk, width, height, spp=spp, quirks=quirks,
+                        tile_rows=tile_rows,
+                    )
                 return render_frame(
                     s, kk, width, height, spp=spp, quirks=quirks,
                     detach=True, remat=True,

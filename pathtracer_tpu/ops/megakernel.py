@@ -1116,7 +1116,9 @@ def render_frame_pallas(
     Drop-in for integrator.tracer.render_frame on supported scenes
     (analytical demo; SDF via ops/megakernel_sdf): returns [H, W, 4] linear
     RGBA. Differentiable w.r.t. scene parameters (custom-VJP backward
-    kernel, detached-sampling estimator). `uniforms`:
+    kernel, detached-sampling estimator; gradient compiles for recursion
+    depth <= 6 on a v5e at tile_rows=8 — differentiate the XLA
+    render_frame for deeper paths). `uniforms`:
     - "inkernel": TPU core PRNG, zero uniform bandwidth (fast path);
     - "hbm": threefry uniforms identical to the XLA integrator's, for
       allclose validation against it.
