@@ -173,6 +173,57 @@ def test_estimator_agreement_mis_bsdf_nee():
         assert frac_bad < 0.02, f"{a} vs {b}: {frac_bad:.3f} pixels off >25%"
 
 
+def test_estimator_agreement_scatter_medium():
+    """MIS vs NEE-only agreement through an HG scattering medium: the
+    scatter-point NEE (phase-function MIS) and the emitter-hit weighting
+    must integrate to the same expectation — a pdf/weight error in either
+    the free-flight sampling, the HG phase, or the scatter MIS breaks it.
+    (Catches correlated oracle+implementation bugs that the exact-parity
+    tests in test_medium.py cannot; SURVEY.md §4 item 3.)"""
+    scene = pt.make_analytical_scene(dtype=jnp.float64, recursion_depth=6)
+    m = scene.params.materials
+    med = m.medium
+    mats = m._replace(
+        roughness=jnp.asarray([0.4, 0.3, 1.0], jnp.float64),
+        clearcoat=jnp.zeros_like(m.clearcoat),
+        spec_trans=m.spec_trans.at[1].set(1.0),
+        metallic=m.metallic.at[1].set(0.0),
+        ior=m.ior.at[1].set(1.1),
+        medium=med._replace(
+            medium_type=med.medium_type.at[1].set(pt.MediumType.SCATTER),
+            density=med.density.at[1].set(1.0),
+            color=med.color._replace(
+                x=med.color.x.at[1].set(0.9),
+                y=med.color.y.at[1].set(0.9),
+                z=med.color.z.at[1].set(0.9),
+            ),
+            anisotropy=med.anisotropy.at[1].set(0.3),
+        ),
+    )
+    scene = scene.replace(params=scene.params._replace(materials=mats))
+
+    imgs = {}
+    for est in ("mis", "nee"):
+        acc = jnp.zeros((H, W, 4), jnp.float64)
+        count = jnp.asarray(0.0)
+        for s in range(4):
+            f = pt.render_frame(
+                scene, jax.random.PRNGKey(300 + s), W, H, spp=256,
+                quirks=pt.FIXED, estimator=est,
+            )
+            acc, count = pt.accumulate(acc, f, count)
+        imgs[est] = np.asarray(acc)[..., :3]
+
+    np.testing.assert_allclose(
+        imgs["mis"].mean(), imgs["nee"].mean(), rtol=0.03,
+        err_msg="mis vs nee image mean (scatter medium)",
+    )
+    err = np.abs(imgs["mis"] - imgs["nee"])
+    scale = np.maximum(imgs["mis"], imgs["nee"]) + 0.05
+    frac_bad = (err / scale > 0.25).mean()
+    assert frac_bad < 0.03, f"scatter mis vs nee: {frac_bad:.3f} pixels off >25%"
+
+
 # ---------------------------------------------------------------------------
 # BSDF-level invariants
 # ---------------------------------------------------------------------------
