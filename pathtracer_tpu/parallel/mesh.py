@@ -169,11 +169,13 @@ def render_frame_sharded_pallas(
     device launches the megakernel over its contiguous range of global
     tiles. Because every tile's RNG stream depends only on (frame seed,
     GLOBAL tile id) — in-kernel PRNG is seeded per global tile, and hbm
-    threefry rows are sliced by global tile — the sharded render is
-    numerically IDENTICAL to the single-device `render_frame_pallas`
-    launch, whatever the device count (the property the reference's
-    per-thread ThreadRng scanline pool could never have,
-    rust-pathtracer/src/tracer.rs:29-44).
+    threefry rows are sliced by global tile — the sharded render computes
+    the SAME sample sequence and pixel assignment as the single-device
+    `render_frame_pallas` launch, whatever the device count (the property
+    the reference's per-thread ThreadRng scanline pool could never have,
+    rust-pathtracer/src/tracer.rs:29-44); images agree to f32 ulp level
+    (XLA may round the packed scene floats differently across the two
+    program shapes).
 
     Differentiable like the single-device path: shard_map's replicated
     in_specs make jax.grad psum the per-device packed-parameter cotangents
