@@ -19,7 +19,7 @@ import pytest
 import pathtracer_tpu as pt
 from pathtracer_tpu.ops.megakernel import render_frame_pallas
 
-W, H = 48, 32
+W, H = 32, 16  # interpret-mode backward is ~20x fwd cost; keep tiny
 KEY = jax.random.PRNGKey(7)
 
 
@@ -31,7 +31,7 @@ def _flat(tree):
 
 @pytest.fixture(scope="module")
 def scene():
-    return pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=3)
+    return pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=2)
 
 
 def _losses(scene):
