@@ -46,6 +46,13 @@ from .scene import Scene, SurfaceHit
 MAX_STEPS = 96
 T_MAX = 50.0
 HIT_EPS = 1e-3
+# Over-relaxation factor for sphere tracing (Keinert et al. 2014, "Enhanced
+# Sphere Tracing"): step by OMEGA*d while consecutive unbounding spheres
+# still overlap; on an overstep (r_i + r_{i-1} < step) back-track and fall
+# to plain marching (omega=1) for that lane. Cuts step counts ~30% on
+# smooth fields; the converged hit satisfies the same |sdf| < eps criterion
+# as plain marching.
+OMEGA = 1.6
 
 
 class SdfParams(NamedTuple):
@@ -216,17 +223,33 @@ def sphere_trace(
     rds = jax.lax.stop_gradient(rd)
 
     def body(_, carry):
-        t, done = carry
+        # Over-relaxed march (module OMEGA note). Per-lane state: position
+        # t, previous unbounding radius, last (signed) step length, current
+        # relaxation omega (1.6 until the lane's first overstep, 1 after),
+        # done flag. The step math here must stay IDENTICAL to the Pallas
+        # twin (ops/megakernel_sdf._sphere_trace) — kernel-vs-XLA parity
+        # tests compare the two paths directly.
+        t, prev_r, step_len, omega, done = carry
         x = ros + rds * t
         d = scene_sdf(ps, x)
-        hit = jnp.abs(d) < eps
-        newly_done = done | hit | (t > t_max)
-        t_next = jnp.where(newly_done, t, t + d)
-        return t_next, newly_done
+        r = jnp.abs(d)
+        fail = (omega > 1.0) & (r + prev_r < step_len)
+        new_step = jnp.where(fail, -(omega - 1.0) * step_len, d * omega)
+        omega_n = jnp.where(fail, 1.0, omega)
+        hit_now = (~fail) & (r < eps)
+        done_n = done | hit_now | (t > t_max)
+        t_n = jnp.where(done_n, t, t + new_step)
+        prev_r_n = jnp.where(done, prev_r, r)
+        step_n = jnp.where(done, step_len, new_step)
+        omega_n = jnp.where(done, omega, omega_n)
+        return t_n, prev_r_n, step_n, omega_n, done_n
 
     t0 = jnp.zeros_like(ros.x)
+    zero = jnp.zeros_like(t0)
     done0 = jnp.zeros_like(t0, dtype=bool)
-    t_star, _ = jax.lax.fori_loop(0, max_steps, body, (t0, done0))
+    t_star, _, _, _, _ = jax.lax.fori_loop(
+        0, max_steps, body, (t0, zero, zero, jnp.full_like(t0, OMEGA), done0)
+    )
 
     x_star = ros + rds * t_star
     hit = (jnp.abs(scene_sdf(ps, x_star)) < 2.0 * eps) & (t_star <= t_max)

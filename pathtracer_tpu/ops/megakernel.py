@@ -24,7 +24,12 @@ reference's `trait Scene`, rust-pathtracer/src/scene.rs:5-90): this module
 ships the analytical demo backend (2 spheres + checker plane + sky + L
 lights of any type, any material table size M, specialized by static
 unrolling — no per-lane gathers, only where-chains); ops/megakernel_sdf.py
-adds the sphere-traced SDF backend.
+adds the sphere-traced SDF backend. The FULL integrator surface runs
+fused: volumetric media (Absorb / Emissive / HG-Scatter, compiled in only
+when the material table declares one) and procedural material hooks
+(Scene.procedural_fn, traced into the kernel against a rebuilt params
+view) — so render_frame_pallas is a drop-in for render_frame on every
+packed scene, not a restricted demo path.
 
 The kernel reuses the SAME pure jnp building blocks as the XLA path
 (ops.bsdf disney_sample/disney_eval, ops.sampling, ops.intersect,
@@ -55,11 +60,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..integrator.tracer import EPS, U_PER_BOUNCE, VERBATIM, Quirks, draw_uniforms
 from ..models.analytical import AnalyticalParams
-from ..models.material import Material, default_material, finalize_material
-from ..models.scene import Scene
+from ..models.material import Material, Medium, default_material, finalize_material
+from ..models.scene import Scene, SurfaceHit
 from ..ops.bsdf import disney_eval, disney_sample
 from ..ops.intersect import ray_plane, ray_rect, ray_sphere
-from ..ops.sampling import power_heuristic, uniform_sample_hemisphere
+from ..ops.sampling import (
+    hg_phase,
+    power_heuristic,
+    sample_hg,
+    uniform_sample_hemisphere,
+)
 from ..ops.vecmath import (
     V3,
     dot,
@@ -98,8 +108,22 @@ _MAT_FIELDS = (
     ("opacity", 1),
     ("alpha_mode", 1),  # packed as f32, cast back to i32 in-kernel
     ("alpha_cutoff", 1),
+    # Medium (material.rs:16-34), flattened into the material record.
+    ("medium_type", 1),  # packed as f32, cast back to i32 in-kernel
+    ("medium_density", 1),
+    ("medium_color", 3),
+    ("medium_anisotropy", 1),
 )
-_MAT_STRIDE = sum(a for _, a in _MAT_FIELDS)  # 19
+_MAT_STRIDE = sum(a for _, a in _MAT_FIELDS)  # 25
+_MEDIUM_FIELDS = ("medium_type", "medium_density", "medium_color", "medium_anisotropy")
+
+
+def _mat_leaf(materials: Material, name: str):
+    """Field lookup that flattens the nested Medium record."""
+    if name in _MEDIUM_FIELDS:
+        attr = "medium_type" if name == "medium_type" else name.removeprefix("medium_")
+        return getattr(materials.medium, attr)
+    return getattr(materials, name)
 
 
 def _v3_list(v: V3):
@@ -152,10 +176,10 @@ def pack_materials(materials: Material) -> list:
     M = int(materials.roughness.shape[0])
     for i in range(M):
         for name, arity in _MAT_FIELDS:
-            leaf = getattr(materials, name)
+            leaf = _mat_leaf(materials, name)
             if arity == 3:
                 vals += [leaf.x[i], leaf.y[i], leaf.z[i]]
-            elif name == "alpha_mode":
+            elif name in ("alpha_mode", "medium_type"):
                 vals.append(leaf[i].astype(f32))
             else:
                 vals.append(leaf[i])
@@ -249,6 +273,77 @@ class _CommonScalars:
         self._off += 1
         return val
 
+    def _material_table(self) -> Material:
+        """Rebuild the material table as a Material pytree of _ScalarRow
+        leaves ([M] per field, static indexing only) — the `params.materials`
+        seen by in-kernel procedural hooks."""
+        mats = self.materials
+        M = len(mats)
+
+        def row(name):
+            return _ScalarRow([m[name] for m in mats])
+
+        def row3(name):
+            return V3(
+                _ScalarRow([m[name].x for m in mats]),
+                _ScalarRow([m[name].y for m in mats]),
+                _ScalarRow([m[name].z for m in mats]),
+            )
+
+        zero = _ScalarRow([jnp.zeros((), jnp.float32)] * M)
+        return Material(
+            rgb=row3("rgb"),
+            anisotropic=row("anisotropic"),
+            emission=row3("emission"),
+            metallic=row("metallic"),
+            roughness=row("roughness"),
+            subsurface=row("subsurface"),
+            specular_tint=row("specular_tint"),
+            sheen=row("sheen"),
+            sheen_tint=row("sheen_tint"),
+            clearcoat=row("clearcoat"),
+            clearcoat_gloss=row("clearcoat_gloss"),
+            clearcoat_roughness=zero,  # derived by finalize, not packed
+            spec_trans=row("spec_trans"),
+            ior=row("ior"),
+            opacity=row("opacity"),
+            alpha_mode=_ScalarRow(
+                [m["alpha_mode"].astype(jnp.int32) for m in mats]
+            ),
+            alpha_cutoff=row("alpha_cutoff"),
+            ax=zero,  # derived by finalize, not packed
+            ay=zero,
+            medium=Medium(
+                medium_type=_ScalarRow(
+                    [m["medium_type"].astype(jnp.int32) for m in mats]
+                ),
+                density=row("medium_density"),
+                color=row3("medium_color"),
+                anisotropy=row("medium_anisotropy"),
+            ),
+        )
+
+
+class _ScalarRow:
+    """A list of traced scalars posing as a 1-D array leaf for in-kernel
+    procedural hooks (Scene.procedural_fn): supports static integer
+    indexing (`leaf[i]`) and len/shape, nothing else. Hooks that need full
+    array semantics (dynamic gathers, whole-leaf jnp ops) run through the
+    XLA integrator instead."""
+
+    def __init__(self, vals):
+        self._vals = list(vals)
+
+    def __getitem__(self, i):
+        return self._vals[i]
+
+    def __len__(self):
+        return len(self._vals)
+
+    @property
+    def shape(self):
+        return (len(self._vals),)
+
 
 class _SceneScalars(_CommonScalars):
     """In-kernel view: reads pack_scene's layout back as traced scalars."""
@@ -275,6 +370,29 @@ class _SceneScalars(_CommonScalars):
 
         self._read_lights(n_lights)
         self._read_materials(n_materials)
+
+    def to_params(self) -> AnalyticalParams:
+        """Rebuild the AnalyticalParams view handed to in-kernel procedural
+        hooks — same pytree structure as the host scene.params, with array
+        leaves as static-index _ScalarRow shims over the packed scalars
+        (so hook reads stay differentiable through pack_scene)."""
+        return AnalyticalParams(
+            sphere_center=V3(
+                _ScalarRow([c.x for c in self.sphere_center]),
+                _ScalarRow([c.y for c in self.sphere_center]),
+                _ScalarRow([c.z for c in self.sphere_center]),
+            ),
+            sphere_radius=_ScalarRow(self.sphere_radius),
+            materials=self._material_table(),
+            checker_scale=self.checker_scale,
+            checker_offset=self.checker_offset,
+            checker_albedo=_ScalarRow(self.checker_albedo),
+            plane_point=self.plane_point,
+            plane_normal=self.plane_normal,
+            sky_horizon=self.sky_horizon,
+            sky_zenith=self.sky_zenith,
+            sky_scale=self.sky_scale,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +426,13 @@ def _pick_material(sc, idx, shape) -> Material:
     base = default_material(shape, jnp.float32)
     fields = {name: chain(name, arity) for name, arity in _MAT_FIELDS}
     fields["alpha_mode"] = fields["alpha_mode"].astype(jnp.int32)
-    return base._replace(**fields)
+    medium = Medium(
+        medium_type=fields.pop("medium_type").astype(jnp.int32),
+        density=fields.pop("medium_density"),
+        color=fields.pop("medium_color"),
+        anisotropy=fields.pop("medium_anisotropy"),
+    )
+    return base._replace(medium=medium, **fields)
 
 
 def _closest_hit(sc: _SceneScalars, ro: V3, rd: V3):
@@ -412,24 +536,20 @@ def _sample_lights_emitter(sc, ro: V3, rd: V3, gate_dist):
     return hit, dist, pdf, emission
 
 
-def _direct_light(
-    sc, any_hit_fn, rd: V3, fhp: V3, ffnormal: V3, material, eta, u,
-    detach: bool = False,
-):
-    """NEE (tracer.rs:126-170) with the uniform light pick unrolled as a
-    where-chain over the static light list.
+def _sample_light_unrolled(sc, scatter_pos: V3, u, detach: bool = False):
+    """Uniform light pick + type-dispatched surface sampling
+    (tracer.rs:136-145 + 173-220) unrolled as a where-chain over the
+    static light list. Returns (normal, emission, direction, dist, pdf,
+    area) for the picked light, all lanes.
 
     detach mirrors integrator.tracer.sample_light: the sampled light
     geometry (direction, distance, normal, pdf) is stop-gradiented,
     emission keeps its gradient (light-intensity recovery)."""
     u_pick, r1, r2 = u
-    shape = jnp.shape(rd.x)
+    shape = jnp.shape(scatter_pos.x)
     L = len(sc.lights)
-    if L == 0:
-        return zeros3(shape, jnp.float32)
     sg = jax.lax.stop_gradient if detach else (lambda x: x)
 
-    scatter_pos = fhp + ffnormal * EPS
     idx = jnp.clip((u_pick * L).astype(jnp.int32), 0, L - 1)
 
     sampled = uniform_sample_hemisphere(r1, r2)
@@ -492,7 +612,21 @@ def _direct_light(
         dist = jnp.where(take, si, dist)
         pdf = jnp.where(take, pi, pdf)
         area = jnp.where(take, ai, area)
+    return normal, emission, direction, dist, pdf, area
 
+
+def _direct_light(
+    sc, any_hit_fn, rd: V3, fhp: V3, ffnormal: V3, material, eta, u,
+    detach: bool = False,
+):
+    """NEE (tracer.rs:126-170) — surface variant: Disney BSDF eval + MIS."""
+    shape = jnp.shape(rd.x)
+    if len(sc.lights) == 0:
+        return zeros3(shape, jnp.float32)
+    scatter_pos = fhp + ffnormal * EPS
+    normal, emission, direction, dist, pdf, area = _sample_light_unrolled(
+        sc, scatter_pos, u, detach
+    )
     facing = dot(direction, normal) < 0.0  # tracer.rs:148
     in_shadow = any_hit_fn(sc, scatter_pos, direction, dist - EPS)
     f, bsdf_pdf = disney_eval(material, eta, -rd, ffnormal, direction)
@@ -500,6 +634,27 @@ def _direct_light(
     ok = facing & (~in_shadow) & (bsdf_pdf > 0.0) & (pdf > 0.0)
     scale = jnp.where(ok, mis / jnp.where(pdf != 0.0, pdf, 1.0), 0.0)
     return emission * f * scale
+
+
+def _scatter_direct_light(
+    sc, any_hit_fn, rd: V3, scatter_pos: V3, g, u, detach: bool = False,
+):
+    """NEE from a volumetric scatter point (integrator.tracer
+    _scatter_direct_light): the HG phase function p(cosθ; g) replaces the
+    surface BSDF as both value and pdf in the MIS weight."""
+    shape = jnp.shape(rd.x)
+    if len(sc.lights) == 0:
+        return zeros3(shape, jnp.float32)
+    normal, emission, direction, dist, pdf, area = _sample_light_unrolled(
+        sc, scatter_pos, u, detach
+    )
+    facing = dot(direction, normal) < 0.0  # tracer.rs:148
+    in_shadow = any_hit_fn(sc, scatter_pos, direction, dist - EPS)
+    p = hg_phase(dot(rd, direction), g)
+    mis = jnp.where(area > 0.0, power_heuristic(pdf, p), 1.0)
+    ok = facing & (~in_shadow) & (p > 0.0) & (pdf > 0.0)
+    scale = jnp.where(ok, mis * p / jnp.where(pdf != 0.0, pdf, 1.0), 0.0)
+    return emission * splat3(scale)
 
 
 # ---------------------------------------------------------------------------
@@ -623,8 +778,12 @@ def _raygen(sc, shape, lane_base, spp, width, height, ox, oy):
     return ro, rd
 
 
-def _tile_init_carry(ro: V3, rd: V3, quirks: Quirks):
-    """Fresh per-tile path carry (State::new / ScatterSampleRec::new)."""
+def _tile_init_carry(ro: V3, rd: V3, quirks: Quirks, has_media: bool = False):
+    """Fresh per-tile path carry (State::new / ScatterSampleRec::new).
+
+    When the scene declares participating media (has_media) the carry
+    additionally tracks the medium the ray travels in (State.medium,
+    globals.rs:21/37): type, density, color, HG anisotropy."""
     shape = jnp.shape(rd.x)
     radiance = zeros3(shape, jnp.float32)
     throughput = splat3(jnp.ones(shape, jnp.float32))
@@ -636,19 +795,41 @@ def _tile_init_carry(ro: V3, rd: V3, quirks: Quirks):
     )
     prev_l = zeros3(shape, jnp.float32)
     prev_hit_dist = jnp.full(shape, -1.0, jnp.float32)
-    return (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist)
+    carry = (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist)
+    if has_media:
+        carry = carry + (
+            jnp.zeros(shape, jnp.int32),  # med_type (vacuum)
+            jnp.zeros(shape, jnp.float32),  # med_density
+            zeros3(shape, jnp.float32),  # med_color
+            jnp.zeros(shape, jnp.float32),  # med_aniso
+        )
+    return carry
 
 
 def _tile_bounce(sc, backend: KernelBackend, carry, u6, quirks: Quirks,
-                 detach: bool = False):
+                 detach: bool = False, has_media: bool = False,
+                 procedural=None):
     """One bounce of the fused tile loop (tracer.rs:61-103) — identical
-    math to integrator.tracer.make_bounce_step, minus participating media
-    (megakernel scenes are rejected if any material declares one; see
-    render_frame_pallas). Standalone so the reverse-sweep backward kernel
-    can re-linearize it one bounce at a time."""
-    (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist) = carry
+    math to integrator.tracer.make_bounce_step, including participating
+    media when the scene declares any (has_media; the media code is
+    statically elided otherwise so media-free scenes pay nothing).
+    Standalone so the reverse-sweep backward kernel can re-linearize it
+    one bounce at a time."""
+    (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist) = carry[:8]
+    if has_media:
+        med_type, med_density, med_color, med_aniso = carry[8:]
 
     t, normal, material = backend.closest_hit(sc, ro, rd)
+    if procedural is not None:
+        # Post-hit procedural material hook (Scene.procedural_fn — the
+        # realization of the reference's dormant rhai scripting surface,
+        # material.rs:77), traced straight into the kernel. The params
+        # view is rebuilt from the packed scalars, so hook reads stay
+        # differentiable through pack_scene.
+        material = procedural(
+            sc.to_params(), SurfaceHit(t=t, normal=normal, material=material),
+            ro, rd,
+        )
     geo_hit = jnp.isfinite(t)
 
     if quirks.stale_emitter_gate:
@@ -661,6 +842,47 @@ def _tile_bounce(sc, backend: KernelBackend, carry, u6, quirks: Quirks,
 
     hit = geo_hit | em_hit
     hit_dist = jnp.where(em_hit, em_dist, gate_dist)
+
+    if has_media:
+        # Volumetric segment effects + single-scatter event, mirroring
+        # integrator.tracer.make_bounce_step (Absorb = Beer-Lambert,
+        # Emissive = color*density*t, Scatter = exponential free flight
+        # with HG-phase NEE + continuation).
+        sg_ = jax.lax.stop_gradient if detach else (lambda x: x)
+        seg = jnp.where(hit, hit_dist, 0.0)
+        seg_on = alive & hit & (med_type != 0)
+        absorbing = seg_on & (med_type == 1)
+        emitting = seg_on & (med_type == 3)
+        ext = splat3(med_density * seg)
+        att = V3(
+            jnp.exp(-(1.0 - med_color.x) * ext.x),
+            jnp.exp(-(1.0 - med_color.y) * ext.y),
+            jnp.exp(-(1.0 - med_color.z) * ext.z),
+        )
+        radiance = radiance + _mask3(
+            emitting, med_color * splat3(med_density * seg) * throughput
+        )
+        throughput = where3(absorbing, throughput * att, throughput)
+
+        u_dist = u6[7]
+        sigma = jnp.maximum(med_density, 1e-12)
+        s_free = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-12)) / sigma
+        scat = (
+            alive & hit & (med_type == 2) & (med_density > 0.0)
+            & (s_free < hit_dist)
+        )
+        scatter_pos = ro + rd * sg_(jnp.where(scat, s_free, 0.0))
+        throughput = where3(scat, throughput * med_color, throughput)
+        ld_s = _scatter_direct_light(
+            sc, backend.any_hit, rd, scatter_pos, med_aniso, u6[0:3],
+            detach=detach,
+        )
+        radiance = radiance + _mask3(scat, ld_s * throughput)
+        l_hg = sample_hg(rd, med_aniso, u6[3], u6[4])
+        l_hg = V3(sg_(l_hg.x), sg_(l_hg.y), sg_(l_hg.z))
+        pdf_hg = hg_phase(dot(rd, l_hg), med_aniso)
+    else:
+        scat = jnp.zeros(jnp.shape(rd.x), bool)
 
     bg = backend.background(sc, rd)
     radiance = radiance + _mask3(alive & ~hit, bg * throughput)
@@ -677,20 +899,20 @@ def _tile_bounce(sc, backend: KernelBackend, carry, u6, quirks: Quirks,
     alpha_fail = ((am == 1) & (u6[6] > material.opacity)) | (
         (am == 2) & (material.opacity < material.alpha_cutoff)
     )
-    passthru = alive & hit & ~em_hit & alpha_fail
+    passthru = alive & hit & ~em_hit & alpha_fail & ~scat
 
     radiance = radiance + _mask3(
-        alive & hit & ~passthru, material.emission * throughput
+        alive & hit & ~passthru & ~scat, material.emission * throughput
     )
 
     mis_w = power_heuristic(jnp.maximum(prev_pdf, 0.0), em_pdf)
     if not quirks.primary_mis:
         mis_w = jnp.where(prev_pdf < 0.0, 1.0, mis_w)
     radiance = radiance + _mask3(
-        alive & em_hit, em_emission * mis_w * throughput
+        alive & em_hit & ~scat, em_emission * mis_w * throughput
     )
 
-    live = alive & hit & ~em_hit
+    live = alive & hit & ~em_hit & ~scat
     shade = live & ~passthru
 
     ld = _direct_light(
@@ -708,13 +930,52 @@ def _tile_bounce(sc, backend: KernelBackend, carry, u6, quirks: Quirks,
 
     ro_next = where3(cont, fhp + bs.l * EPS, ro)
     rd_next = where3(cont, bs.l, rd)
-    ro = where3(passthru, fhp + rd * EPS, ro_next)
-    rd = where3(passthru, rd, rd_next)
-    prev_pdf = jnp.where(shade, bs.pdf, prev_pdf)
-    prev_l = where3(shade, bs.l, prev_l)
+    ro_next = where3(passthru, fhp + rd * EPS, ro_next)
+    rd_next = where3(passthru, rd, rd_next)
+    prev_pdf_new = jnp.where(shade, bs.pdf, prev_pdf)
+    prev_l_new = where3(shade, bs.l, prev_l)
     prev_hit_dist = jnp.where(alive & hit, hit_dist, prev_hit_dist)
+
+    if has_media:
+        # Volumetric scatter: continue from the scatter point along the
+        # HG-sampled direction (still inside the medium).
+        ro_next = where3(scat, scatter_pos, ro_next)
+        rd_next = where3(scat, l_hg, rd_next)
+        prev_pdf_new = jnp.where(scat, sg_(pdf_hg), prev_pdf_new)
+        prev_l_new = where3(scat, l_hg, prev_l_new)
+        alive = cont | passthru | scat
+
+        # Medium transition on refraction through the surface (GLSL
+        # original: entering a front face adopts the hit material's
+        # medium, exiting returns to vacuum).
+        transmitted = shade & cont & (dot(bs.l, ffnormal) < 0.0)
+        enter_m = transmitted & entering
+        exit_m = transmitted & ~entering
+        mmed = material.medium
+        med_type = jnp.where(
+            enter_m, mmed.medium_type, jnp.where(exit_m, 0, med_type)
+        )
+        med_density = jnp.where(
+            enter_m, mmed.density, jnp.where(exit_m, 0.0, med_density)
+        )
+        zero3 = zeros3(jnp.shape(bs.pdf), jnp.float32)
+        med_color = where3(
+            enter_m, mmed.color, where3(exit_m, zero3, med_color)
+        )
+        med_aniso = jnp.where(
+            enter_m, mmed.anisotropy, jnp.where(exit_m, 0.0, med_aniso)
+        )
+        return (
+            ro_next, rd_next, radiance, throughput, alive, prev_pdf_new,
+            prev_l_new, prev_hit_dist, med_type, med_density, med_color,
+            med_aniso,
+        )
+
     alive = cont | passthru
-    return (ro, rd, radiance, throughput, alive, prev_pdf, prev_l, prev_hit_dist)
+    return (
+        ro_next, rd_next, radiance, throughput, alive, prev_pdf_new,
+        prev_l_new, prev_hit_dist,
+    )
 
 
 def _trace_tile(
@@ -726,12 +987,24 @@ def _trace_tile(
     depth: int,
     quirks: Quirks,
     detach: bool = False,
+    has_media: bool = False,
+    procedural=None,
 ) -> V3:
     """The fused per-tile bounce loop, statically unrolled (the vectorized
-    tracer.rs:61-103). Returns the tile's radiance."""
-    carry = _tile_init_carry(ro, rd, quirks)
+    tracer.rs:61-103). Returns the tile's radiance.
+
+    Measured and rejected: a whole-tile liveness lax.cond around bounces
+    1..depth (skip when every lane is dead — bit-identical since dead
+    lanes leave the carry unchanged). On a v5e it ran the analytical
+    kernel 5x SLOWER (the scf.if boundary forces all ~70 live carry
+    vectors through VMEM instead of registers) and tripled Mosaic compile
+    time, for +4% on the SDF kernel. Straight-line unroll wins."""
+    carry = _tile_init_carry(ro, rd, quirks, has_media)
     for b in range(depth):
-        carry = _tile_bounce(sc, backend, carry, tuple(us[b]), quirks, detach)
+        carry = _tile_bounce(
+            sc, backend, carry, tuple(us[b]), quirks, detach, has_media,
+            procedural,
+        )
     return carry[2]
 
 
@@ -758,15 +1031,15 @@ def _make_uniform_fn(shape, inkernel_rng: bool, u_ref):
     return uniform
 
 
-def _draw_all(uniform, depth: int, inkernel: bool):
+def _draw_all(uniform, depth: int, inkernel: bool, has_media: bool = False):
     """Draw the whole tile stream up front in the canonical order:
     [cam ox, cam oy, bounce0 u0.., bounce1 u0.., ...].
 
     hbm mode must consume all U_PER_BOUNCE rows per bounce to stay aligned
     with the XLA integrator's threefry layout; the in-kernel stream is
-    self-defined and skips the scatter-distance slot u[7] (the megakernel
-    rejects volumetric media, so it is always dead weight there)."""
-    n = U_PER_BOUNCE - 1 if inkernel else U_PER_BOUNCE
+    self-defined and skips the scatter-distance slot u[7] on media-free
+    scenes (where it is dead weight)."""
+    n = U_PER_BOUNCE - 1 if (inkernel and not has_media) else U_PER_BOUNCE
     ox = uniform()
     oy = uniform()
     us = [[uniform() for _ in range(n)] for _ in range(depth)]
@@ -789,6 +1062,8 @@ def _make_kernel(
     tile_rows: int,
     quirks: Quirks,
     inkernel_rng: bool,
+    has_media: bool = False,
+    procedural=None,
 ):
     """Forward kernel body: raygen + fused path loop + radiance writeback."""
     shape = (tile_rows, LANES)
@@ -802,11 +1077,14 @@ def _make_kernel(
         if inkernel_rng:
             _seed_tile_rng(seed_ref[0, 0], global_tile)
         uniform = _make_uniform_fn(shape, inkernel_rng, u_ref)
-        ox, oy, us = _draw_all(uniform, depth, inkernel_rng)
+        ox, oy, us = _draw_all(uniform, depth, inkernel_rng, has_media)
 
         lane_base = global_tile * tile
         ro, rd = _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
-        radiance = _trace_tile(sc, backend, ro, rd, us, depth, quirks)
+        radiance = _trace_tile(
+            sc, backend, ro, rd, us, depth, quirks, has_media=has_media,
+            procedural=procedural,
+        )
 
         r_ref[:] = radiance.x
         g_ref[:] = radiance.y
@@ -826,6 +1104,8 @@ def _make_grad_kernel(
     quirks: Quirks,
     inkernel_rng: bool,
     n_params: int,
+    has_media: bool = False,
+    procedural=None,
 ):
     """Backward kernel body: reverse-sweep VJP of the tile's path.
 
@@ -856,7 +1136,7 @@ def _make_grad_kernel(
         uniform = _make_uniform_fn(shape, inkernel_rng, u_ref)
         # Draw OUTSIDE anything differentiated: pltpu.prng_random_bits has
         # no JVP rule, and the uniforms are detached constants anyway.
-        ox, oy, us = _draw_all(uniform, depth, inkernel_rng)
+        ox, oy, us = _draw_all(uniform, depth, inkernel_rng, has_media)
         lane_base = global_tile * tile
 
         svals = tuple(sp_ref[0, i] for i in range(n_params))
@@ -867,11 +1147,14 @@ def _make_grad_kernel(
 
         def bounce_p(carry, params, u6):
             sc = backend.view(_TupleRef(params), meta)
-            return _tile_bounce(sc, backend, carry, u6, quirks, detach=True)
+            return _tile_bounce(
+                sc, backend, carry, u6, quirks, detach=True,
+                has_media=has_media, procedural=procedural,
+            )
 
         # ---- Forward sweep: store the carry entering each bounce ----
         ro, rd = raygen_p(svals)
-        carry = _tile_init_carry(ro, rd, quirks)
+        carry = _tile_init_carry(ro, rd, quirks, has_media)
         carries = []
         for b in range(depth):
             carries.append(carry)
@@ -879,10 +1162,10 @@ def _make_grad_kernel(
 
         # ---- Reverse sweep ----
         # Cotangent of the final carry: the image cotangent lands on the
-        # radiance slot; bool leaves (alive) take float0 per JAX's
-        # convention for non-differentiable outputs.
+        # radiance slot; bool/int leaves (alive, med_type) take float0 per
+        # JAX's convention for non-differentiable outputs.
         def ct_zero(x):
-            if x.dtype == jnp.bool_:
+            if not jnp.issubdtype(x.dtype, jnp.floating):
                 return _np.zeros(jnp.shape(x), jax.dtypes.float0)
             return jnp.zeros(jnp.shape(x), x.dtype)
 
@@ -951,6 +1234,8 @@ class _KernelConfig(NamedTuple):
     inkernel_rng: bool
     interpret: bool
     respect_max_dist: bool = False
+    has_media: bool = False
+    procedural: Callable | None = None
 
 
 def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
@@ -959,7 +1244,8 @@ def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
     tile = tile_rows * LANES
     kernel = _make_kernel(
         backend, cfg.meta, cfg.width, cfg.height, cfg.spp, cfg.depth,
-        tile_rows, cfg.quirks, cfg.inkernel_rng,
+        tile_rows, cfg.quirks, cfg.inkernel_rng, cfg.has_media,
+        cfg.procedural,
     )
     out_shape = (num_tiles * tile_rows, LANES)
     out_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -994,7 +1280,8 @@ def _pallas_backward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all, 
     n_params = int(sv.shape[1])
     kernel = _make_grad_kernel(
         backend, cfg.meta, cfg.width, cfg.height, cfg.spp, cfg.depth,
-        tile_rows, cfg.quirks, cfg.inkernel_rng, n_params,
+        tile_rows, cfg.quirks, cfg.inkernel_rng, n_params, cfg.has_media,
+        cfg.procedural,
     )
     ct_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     if cfg.inkernel_rng:
@@ -1110,6 +1397,7 @@ def render_frame_pallas(
     tile_rows: int = 16,
     uniforms: str = "inkernel",
     interpret: bool = False,
+    media: bool | None = None,
 ) -> jnp.ndarray:
     """Render one progressive frame with the fused Pallas megakernel.
 
@@ -1122,34 +1410,33 @@ def render_frame_pallas(
     - "inkernel": TPU core PRNG, zero uniform bandwidth (fast path);
     - "hbm": threefry uniforms identical to the XLA integrator's, for
       allclose validation against it.
+
+    media: compile the volumetric-media path (Absorb / Emissive / HG
+    Scatter, mirroring the XLA integrator) into the kernel. None (default)
+    auto-detects from the concrete material table; pass True explicitly if
+    you jit over scenes whose materials are traced AND declare media
+    (auto-detection sees only tracers there and compiles the cheaper
+    media-free kernel).
     """
     backend = _resolve_backend(scene)
-    if scene.procedural_fn is not None:
-        raise NotImplementedError(
-            "procedural_fn hooks run in the XLA integrator "
-            "(integrator.tracer.render_frame); the megakernel is "
-            "specialized to packed scenes"
-        )
-    try:
-        # Participating media run in the XLA integrator; reject eagerly
-        # when the scene is concrete (inside an outer jit the leaves are
-        # tracers and the check is skipped).
-        import numpy as _np
-
-        if bool((_np.asarray(scene.params.materials.medium.medium_type) != 0).any()):
-            raise NotImplementedError(
-                "volumetric media (MediumType != None) are handled by "
-                "integrator.tracer.render_frame, not the megakernel"
-            )
-    except NotImplementedError:
-        raise
-    except Exception:
-        pass
+    if media is None:
+        media = _detect_media(scene)
     return _render_frame_pallas(
         scene, key, width, height,
         spp=spp, quirks=quirks, tile_rows=tile_rows, uniforms=uniforms,
-        interpret=interpret, backend_name=backend.name,
+        interpret=interpret, backend_name=backend.name, has_media=media,
     )
+
+
+def _detect_media(scene: Scene) -> bool:
+    """True if any material in the (concrete) table declares a medium.
+    Traced leaves (inside an outer jit) default to False."""
+    try:
+        return bool(
+            (_np.asarray(scene.params.materials.medium.medium_type) != 0).any()
+        )
+    except Exception:
+        return False
 
 
 @partial(
@@ -1163,6 +1450,7 @@ def render_frame_pallas(
         "uniforms",
         "interpret",
         "backend_name",
+        "has_media",
     ),
 )
 def _render_frame_pallas(
@@ -1176,10 +1464,11 @@ def _render_frame_pallas(
     uniforms: str = "inkernel",
     interpret: bool = False,
     backend_name: str = "analytical",
+    has_media: bool = False,
 ) -> jnp.ndarray:
     r, g, b = _render_tiles_pallas(
         scene, key, width, height, spp, quirks, tile_rows, uniforms,
-        interpret, backend_name,
+        interpret, backend_name, has_media=has_media,
     )
     n = width * height * spp
 
@@ -1207,6 +1496,7 @@ def _render_tiles_pallas(
     backend_name: str,
     tile_base: int | jnp.ndarray = 0,
     num_tiles: int | None = None,
+    has_media: bool = False,
 ):
     """Shared launch path: returns the raw (padded) radiance tile buffers.
 
@@ -1254,5 +1544,7 @@ def _render_tiles_pallas(
         inkernel_rng=(uniforms != "hbm"),
         interpret=interpret,
         respect_max_dist=respect,
+        has_media=has_media,
+        procedural=scene.procedural_fn,
     )
     return _diff_render(cfg, int(num_tiles))(sv, seed, base, u_all)

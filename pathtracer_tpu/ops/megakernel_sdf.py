@@ -23,18 +23,26 @@ import jax
 import jax.numpy as jnp
 
 from ..models.scene import Scene
-from ..models.sdf import HIT_EPS, MAX_STEPS, T_MAX, SdfParams, smooth_min
+from ..models.sdf import HIT_EPS, MAX_STEPS, OMEGA, T_MAX, SdfParams, smooth_min
 from ..ops.vecmath import V3, dot, safe_normalize, safe_sqrt, splat3, where3
 from .megakernel import (
     KernelBackend,
     _CommonScalars,
     _pick_material,
+    _ScalarRow,
     _v3_list,
     pack_camera,
     pack_lights,
     pack_materials,
     register_backend,
 )
+
+
+# March steps per early-exit convergence check. Must divide MAX_STEPS (a
+# non-divisor would overrun the fixed-trip count and break bit-parity with
+# models/sdf.sphere_trace for lanes still marching at step MAX_STEPS).
+MARCH_BLOCK = 12
+assert MAX_STEPS % MARCH_BLOCK == 0
 
 
 class _DetachRef:
@@ -112,6 +120,40 @@ class _SdfScalars(_CommonScalars):
         self._read_lights(n_lights)
         self._read_materials(S + B + T + 1)
 
+    def to_params(self) -> SdfParams:
+        """SdfParams view for in-kernel procedural hooks (static-index
+        _ScalarRow leaves; see megakernel._SceneScalars.to_params)."""
+
+        def col(tuples, k):
+            return _ScalarRow([t[k] for t in tuples])
+
+        def col3(tuples, k):
+            return V3(
+                _ScalarRow([t[k].x for t in tuples]),
+                _ScalarRow([t[k].y for t in tuples]),
+                _ScalarRow([t[k].z for t in tuples]),
+            )
+
+        return SdfParams(
+            sphere_center=col3(self.spheres, 0),
+            sphere_radius=col(self.spheres, 1),
+            box_center=col3(self.boxes, 0),
+            box_half=col3(self.boxes, 1),
+            box_round=col(self.boxes, 2),
+            torus_center=col3(self.tori, 0),
+            torus_major=col(self.tori, 1),
+            torus_minor=col(self.tori, 2),
+            plane_point=self.plane_point,
+            plane_normal=self.plane_normal,
+            smooth_k=self.smooth_k,
+            materials=self._material_table(),
+            checker_scale=self.checker_scale,
+            checker_albedo=_ScalarRow(self.checker_albedo),
+            sky_horizon=self.sky_horizon,
+            sky_zenith=self.sky_zenith,
+            sky_scale=self.sky_scale,
+        )
+
 
 def _sdf_view(ref, meta):
     sc = _SdfScalars(ref, meta)
@@ -166,29 +208,80 @@ def _normal(sc: _SdfScalars, x: V3) -> V3:
     return safe_normalize(V3(gx, gy, gz))
 
 
-def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3):
+def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3, t_cap=None):
     """March t += sdf (detached view) + Newton reattachment for parameter
-    gradients — the in-kernel twin of models/sdf.sphere_trace."""
+    gradients — the in-kernel twin of models/sdf.sphere_trace.
+
+    Two in-kernel accelerations over the fixed-trip XLA march, both
+    result-identical (same stop condition per lane, and t is monotone
+    increasing so a capped lane can never re-enter the [0, cap] range):
+
+    - early exit: a while_loop that stops as soon as EVERY lane in the
+      tile has converged or escaped. Tiles are spatially coherent
+      (consecutive pixels), so typical trip counts are far below
+      MAX_STEPS — sky tiles escape in a handful of steps.
+    - t_cap (per-lane, used by the shadow march): lanes stop once t
+      exceeds the light distance. Occlusion is decided by t < max_dist,
+      and any hit found beyond the cap would fail that comparison anyway,
+      so capping changes no boolean outcome — it only skips the pointless
+      march from the light to T_MAX.
+    """
     scd = getattr(sc, "detached", sc)
     sg = jax.lax.stop_gradient
     ros = V3(sg(ro.x), sg(ro.y), sg(ro.z))
     rds = V3(sg(rd.x), sg(rd.y), sg(rd.z))
+    cap = T_MAX if t_cap is None else jnp.minimum(sg(t_cap), T_MAX)
 
-    def body(_, t):
-        # Single f32 carry: a converged lane (|d| < eps, or past t_max)
-        # stops advancing, which is equivalent to the (t, done) carry of
-        # models/sdf.sphere_trace — Mosaic miscompiles i1 vectors as
-        # fori_loop carries, so the done flag is recomputed instead.
+    def step_once(st):
+        # Over-relaxed march step — IDENTICAL math to the XLA twin
+        # (models/sdf.sphere_trace body; see the OMEGA note there). The
+        # done flag rides as f32 0/1 because Mosaic miscompiles i1 vectors
+        # as loop carries.
+        t, prev_r, step_len, omega, done_f = st
+        done = done_f > 0.5
         x = ros + rds * t
         d = _sdf(scd, x)
-        stop = (jnp.abs(d) < HIT_EPS) | (t > T_MAX)
-        return jnp.where(stop, t, t + d)
+        r = jnp.abs(d)
+        fail = (omega > 1.0) & (r + prev_r < step_len)
+        new_step = jnp.where(fail, -(omega - 1.0) * step_len, d * omega)
+        omega_n = jnp.where(fail, 1.0, omega)
+        hit_now = (~fail) & (r < HIT_EPS)
+        done_n = done | hit_now | (t > cap)
+        t_n = jnp.where(done_n, t, t + new_step)
+        prev_r_n = jnp.where(done, prev_r, r)
+        step_n = jnp.where(done, step_len, new_step)
+        omega_n = jnp.where(done, omega, omega_n)
+        return (t_n, prev_r_n, step_n, omega_n, done_n.astype(jnp.float32))
+
+    def cond(carry):
+        step, st = carry
+        return (step < MAX_STEPS) & (jnp.sum(1.0 - st[4]) > 0.5)
+
+    def body(carry):
+        # MARCH_BLOCK straight-line steps per trip, then ONE convergence
+        # reduction: checking every step serializes the VPU pipeline on a
+        # vector->scalar latency (measured ~2x slower than no early exit);
+        # block-checking amortizes it while keeping block-granular exit.
+        step, st = carry
+        for _ in range(MARCH_BLOCK):
+            st = step_once(st)
+        return step + MARCH_BLOCK, st
 
     t0 = jnp.zeros_like(ros.x)
-    t_star = jax.lax.fori_loop(0, MAX_STEPS, body, t0)
+    zero = jnp.zeros_like(t0)
+    st0 = (t0, zero, zero, jnp.full_like(t0, OMEGA), zero)
+    _, (t_star, _, _, _, _) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), st0)
+    )
 
     x_star = ros + rds * t_star
     hit = (jnp.abs(_sdf(scd, x_star)) < 2.0 * HIT_EPS) & (t_star <= T_MAX)
+
+    if t_cap is not None:
+        # Shadow-march fast path: the caller only compares t against the
+        # cap (a boolean no gradient flows through), so skip the Newton
+        # reattachment and its sdf-gradient normal eval entirely.
+        return t_star, hit
 
     # Newton reattachment (models/sdf.py:238-246): value == t_star,
     # gradient == implicit-function derivative.
@@ -253,8 +346,10 @@ def _closest_hit_sdf(sc: _SdfScalars, ro: V3, rd: V3):
 
 def _any_hit_sdf(sc: _SdfScalars, ro: V3, rd: V3, max_dist):
     """Shadow occlusion bounded by max_dist (models/sdf.any_hit — fixed
-    semantics; the ignore-max_dist quirk is analytical-scene-specific)."""
-    t, hit = _sphere_trace(sc, ro, rd)
+    semantics; the ignore-max_dist quirk is analytical-scene-specific).
+    The march is capped at max_dist (see _sphere_trace: boolean-identical,
+    skips the march from the light out to T_MAX)."""
+    t, hit = _sphere_trace(sc, ro, rd, t_cap=max_dist)
     return hit & (t < max_dist)
 
 

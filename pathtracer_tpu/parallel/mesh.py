@@ -148,7 +148,7 @@ def render_frame_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "width", "height", "spp", "quirks", "tile_rows", "uniforms",
-        "interpret",
+        "interpret", "media",
     ),
 )
 def render_frame_sharded_pallas(
@@ -162,6 +162,7 @@ def render_frame_sharded_pallas(
     tile_rows: int = 16,
     uniforms: str = "inkernel",
     interpret: bool = False,
+    media: bool = False,
 ) -> jnp.ndarray:
     """Sharded megakernel render: the fused Pallas path under shard_map.
 
@@ -204,6 +205,7 @@ def render_frame_sharded_pallas(
         return _render_tiles_pallas(
             scene, key, width, height, spp, quirks, tile_rows, uniforms,
             interpret, backend_name, tile_base=base, num_tiles=local_tiles,
+            has_media=media,
         )
 
     r, g, b = shard_map(

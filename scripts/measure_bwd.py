@@ -21,6 +21,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# Persistent XLA compile cache: Mosaic/XLA compiles of the 1080p kernels
+# take minutes cold; cache them across processes (driver runs included).
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), "../.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 
 

@@ -171,11 +171,24 @@ def test_scatter_brighter_than_absorb():
     assert scat[..., :3].sum() > absorb[..., :3].sum()
 
 
-def test_megakernel_rejects_media():
+@pytest.mark.parametrize(
+    "med_type",
+    [pt.MediumType.ABSORB, pt.MediumType.EMISSIVE, pt.MediumType.SCATTER],
+)
+def test_megakernel_media_parity(med_type):
+    """The megakernel's media path (compiled in when the material table
+    declares a medium) matches the XLA integrator on identical threefry
+    uniforms — Absorb, Emissive, and HG Scatter."""
     from pathtracer_tpu.ops.megakernel import render_frame_pallas
 
-    scene = _glass_scene(jnp.float32, med_type=pt.MediumType.ABSORB)
-    with pytest.raises(NotImplementedError):
+    aniso = 0.4 if med_type == pt.MediumType.SCATTER else 0.0
+    scene = _glass_scene(jnp.float32, med_type=med_type, anisotropy=aniso)
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(pt.render_frame(scene, key, W, H))
+    b = np.asarray(
         render_frame_pallas(
-            scene, jax.random.PRNGKey(0), W, H, uniforms="hbm", interpret=True
+            scene, key, W, H, uniforms="hbm", interpret=True, tile_rows=8
         )
+    )
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4)

@@ -62,11 +62,43 @@ def test_procedural_hook_differentiable():
     assert np.isfinite(float(g)) and float(g) > 0.0
 
 
-def test_megakernel_rejects_procedural():
+def test_megakernel_procedural_parity():
+    """Procedural hooks trace straight into the megakernel (the params
+    view is rebuilt from the packed scalars): identical image to the XLA
+    integrator on identical threefry uniforms."""
     from pathtracer_tpu.ops.megakernel import render_frame_pallas
 
-    scene = pt.make_analytical_scene().replace(procedural_fn=_stripes)
-    with pytest.raises(NotImplementedError):
+    scene = pt.make_analytical_scene(dtype=jnp.float32).replace(
+        procedural_fn=_stripes
+    )
+    key = jax.random.PRNGKey(5)
+    a = np.asarray(pt.render_frame(scene, key, 32, 24))
+    b = np.asarray(
         render_frame_pallas(
-            scene, jax.random.PRNGKey(0), 16, 16, interpret=True
+            scene, key, 32, 24, uniforms="hbm", interpret=True, tile_rows=8
         )
+    )
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4)
+
+
+def test_megakernel_procedural_params_read():
+    """A hook that reads scene params through the in-kernel _ScalarRow
+    view produces the same image as the XLA path."""
+    from pathtracer_tpu.ops.megakernel import render_frame_pallas
+
+    def tinted(params, hit, ro, rd):
+        m = hit.material
+        return m._replace(rgb=m.rgb * splat3(params.checker_albedo[0] * 4.0))
+
+    scene = pt.make_analytical_scene(dtype=jnp.float32).replace(
+        procedural_fn=tinted
+    )
+    key = jax.random.PRNGKey(6)
+    a = np.asarray(pt.render_frame(scene, key, 16, 16))
+    b = np.asarray(
+        render_frame_pallas(
+            scene, key, 16, 16, uniforms="hbm", interpret=True, tile_rows=8
+        )
+    )
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4)
