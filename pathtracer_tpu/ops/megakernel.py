@@ -169,13 +169,19 @@ def pack_lights(scene: Scene) -> list:
     return vals
 
 
-def pack_materials(materials: Material) -> list:
-    """Material table [M] (material.rs:48-78)."""
+def pack_materials(materials: Material, with_medium: bool = True) -> list:
+    """Material table [M] (material.rs:48-78). The Medium fields are packed
+    only for media-declaring scenes (with_medium == cfg.has_media) so
+    media-free kernels keep the lean 19-scalar record — fewer SMEM reads
+    in the forward kernel and fewer per-bounce gradient accumulators in
+    the backward kernel."""
     f32 = jnp.float32
     vals: list = []
     M = int(materials.roughness.shape[0])
     for i in range(M):
         for name, arity in _MAT_FIELDS:
+            if name in _MEDIUM_FIELDS and not with_medium:
+                continue
             leaf = _mat_leaf(materials, name)
             if arity == 3:
                 vals += [leaf.x[i], leaf.y[i], leaf.z[i]]
@@ -186,7 +192,8 @@ def pack_materials(materials: Material) -> list:
     return vals
 
 
-def pack_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
+def pack_scene(scene: Scene, width: int, height: int,
+               with_medium: bool = True) -> jnp.ndarray:
     """Flatten camera-derived vectors + analytical params + lights into one
     f32 vector consumed by the kernel via SMEM scalar reads.
 
@@ -213,7 +220,7 @@ def pack_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
     vals += _v3_list(p.sky_horizon) + _v3_list(p.sky_zenith) + [p.sky_scale]
 
     vals += pack_lights(scene)
-    vals += pack_materials(p.materials)
+    vals += pack_materials(p.materials, with_medium)
 
     flat = jnp.stack([jnp.asarray(x, f32) for x in vals])
     return flat[None, :]  # (1, P) for SMEM
@@ -259,12 +266,20 @@ class _CommonScalars:
                 )
             )
 
-    def _read_materials(self, n_materials: int):
+    def _read_materials(self, n_materials: int, with_medium: bool = True):
         get = self._get
         self.materials = []
         for _ in range(n_materials):
             m = {}
             for name, arity in _MAT_FIELDS:
+                if name in _MEDIUM_FIELDS and not with_medium:
+                    # Medium not packed (media-free kernel): constants with
+                    # Medium::new defaults; every consumer DCEs away.
+                    m[name] = (
+                        zeros3((), jnp.float32) if arity == 3
+                        else jnp.float32(0.0)
+                    )
+                    continue
                 m[name] = V3(get(), get(), get()) if arity == 3 else get()
             self.materials.append(m)
 
@@ -348,7 +363,8 @@ class _ScalarRow:
 class _SceneScalars(_CommonScalars):
     """In-kernel view: reads pack_scene's layout back as traced scalars."""
 
-    def __init__(self, ref, n_lights: int, n_materials: int):
+    def __init__(self, ref, n_lights: int, n_materials: int,
+                 with_medium: bool = True):
         self._ref = ref
         self._off = 0
         get = self._get
@@ -369,7 +385,7 @@ class _SceneScalars(_CommonScalars):
         self.sky_scale = get()
 
         self._read_lights(n_lights)
-        self._read_materials(n_materials)
+        self._read_materials(n_materials, with_medium)
 
     def to_params(self) -> AnalyticalParams:
         """Rebuild the AnalyticalParams view handed to in-kernel procedural
@@ -687,7 +703,8 @@ def _analytical_meta(scene: Scene) -> tuple:
 
 
 def _analytical_view(ref, meta):
-    return _SceneScalars(ref, meta[0], meta[1])
+    # meta = meta_of(scene) + (has_media,), appended by _render_tiles_pallas
+    return _SceneScalars(ref, meta[0], meta[1], with_medium=meta[-1])
 
 
 def _analytical_any_hit_dispatch(sc, ro, rd, max_dist, respect=False):
@@ -989,22 +1006,48 @@ def _trace_tile(
     detach: bool = False,
     has_media: bool = False,
     procedural=None,
+    interpret: bool = False,
 ) -> V3:
-    """The fused per-tile bounce loop, statically unrolled (the vectorized
-    tracer.rs:61-103). Returns the tile's radiance.
+    """The fused per-tile bounce loop (the vectorized tracer.rs:61-103).
+    Returns the tile's radiance.
 
-    Measured and rejected: a whole-tile liveness lax.cond around bounces
-    1..depth (skip when every lane is dead — bit-identical since dead
-    lanes leave the carry unchanged). On a v5e it ran the analytical
+    Compiled (Mosaic): statically unrolled over bounces — best scheduling.
+    Measured and rejected there: a whole-tile liveness lax.cond around
+    bounces 1..depth (skip when every lane is dead — bit-identical since
+    dead lanes leave the carry unchanged). On a v5e it ran the analytical
     kernel 5x SLOWER (the scf.if boundary forces all ~70 live carry
     vectors through VMEM instead of registers) and tripled Mosaic compile
-    time, for +4% on the SDF kernel. Straight-line unroll wins."""
+    time, for +4% on the SDF kernel. Straight-line unroll wins.
+
+    Interpret (the CPU parity-test path): a lax.scan over bounces — the
+    unrolled depth-4 graph takes XLA-CPU ~20x longer to COMPILE than
+    depth-1 (measured 113s vs 6s at 16x8); scanning compiles the bounce
+    body once. Identical op sequence per bounce, so results match the
+    unrolled form."""
     carry = _tile_init_carry(ro, rd, quirks, has_media)
-    for b in range(depth):
-        carry = _tile_bounce(
-            sc, backend, carry, tuple(us[b]), quirks, detach, has_media,
-            procedural,
+    if not interpret:
+        for b in range(depth):
+            carry = _tile_bounce(
+                sc, backend, carry, tuple(us[b]), quirks, detach, has_media,
+                procedural,
+            )
+        return carry[2]
+
+    n_u = len(us[0])
+    us_stacked = tuple(
+        jnp.stack([us[b][j] for b in range(depth)]) for j in range(n_u)
+    )
+
+    def body(c, u_slices):
+        return (
+            _tile_bounce(
+                sc, backend, c, u_slices, quirks, detach, has_media,
+                procedural,
+            ),
+            None,
         )
+
+    carry, _ = jax.lax.scan(body, carry, us_stacked)
     return carry[2]
 
 
@@ -1064,6 +1107,7 @@ def _make_kernel(
     inkernel_rng: bool,
     has_media: bool = False,
     procedural=None,
+    interpret: bool = False,
 ):
     """Forward kernel body: raygen + fused path loop + radiance writeback."""
     shape = (tile_rows, LANES)
@@ -1083,7 +1127,7 @@ def _make_kernel(
         ro, rd = _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
         radiance = _trace_tile(
             sc, backend, ro, rd, us, depth, quirks, has_media=has_media,
-            procedural=procedural,
+            procedural=procedural, interpret=interpret,
         )
 
         r_ref[:] = radiance.x
@@ -1106,6 +1150,7 @@ def _make_grad_kernel(
     n_params: int,
     has_media: bool = False,
     procedural=None,
+    interpret: bool = False,
 ):
     """Backward kernel body: reverse-sweep VJP of the tile's path.
 
@@ -1154,36 +1199,99 @@ def _make_grad_kernel(
 
         # ---- Forward sweep: store the carry entering each bounce ----
         ro, rd = raygen_p(svals)
-        carry = _tile_init_carry(ro, rd, quirks, has_media)
-        carries = []
-        for b in range(depth):
-            carries.append(carry)
-            carry = bounce_p(carry, svals, tuple(us[b]))
+        init_carry = _tile_init_carry(ro, rd, quirks, has_media)
 
-        # ---- Reverse sweep ----
-        # Cotangent of the final carry: the image cotangent lands on the
-        # radiance slot; bool/int leaves (alive, med_type) take float0 per
-        # JAX's convention for non-differentiable outputs.
+        # Cotangent plumbing. Bool/int carry leaves (alive, med_type) take
+        # float0 per JAX's convention for non-differentiable outputs;
+        # float0 cannot ride an XLA loop carry, so the scan variant strips
+        # them between vjp calls and rebuilds them inside the body.
         def ct_zero(x):
             if not jnp.issubdtype(x.dtype, jnp.floating):
                 return _np.zeros(jnp.shape(x), jax.dtypes.float0)
             return jnp.zeros(jnp.shape(x), x.dtype)
 
-        ct_carry = jax.tree_util.tree_map(ct_zero, carry)
-        ct_carry = (
-            ct_carry[0],
-            ct_carry[1],
-            V3(ctr_ref[:], ctg_ref[:], ctb_ref[:]),
-        ) + ct_carry[3:]
+        flat0, carry_treedef = jax.tree_util.tree_flatten(init_carry)
+        nonfloat_pos = {
+            i for i, x in enumerate(flat0)
+            if not jnp.issubdtype(x.dtype, jnp.floating)
+        }
+        leaf_shapes = [jnp.shape(x) for x in flat0]
 
-        grads = [jnp.zeros((), jnp.float32) for _ in range(n_params)]
-        for b in reversed(range(depth)):
-            u_b = tuple(us[b])
-            _, vjp = jax.vjp(
-                lambda c, p: bounce_p(c, p, u_b), carries[b], svals
+        def strip(ct_tree):
+            fl = jax.tree_util.tree_leaves(ct_tree)
+            return tuple(x for i, x in enumerate(fl) if i not in nonfloat_pos)
+
+        def unstrip(ct_flat):
+            it = iter(ct_flat)
+            full = [
+                _np.zeros(leaf_shapes[i], jax.dtypes.float0)
+                if i in nonfloat_pos else next(it)
+                for i in range(len(leaf_shapes))
+            ]
+            return jax.tree_util.tree_unflatten(carry_treedef, full)
+
+        if not interpret:
+            # Compiled (Mosaic) path: both sweeps statically unrolled —
+            # best scheduling; code size grows with depth (compiles to
+            # depth 6 at tile_rows=8 on a v5e).
+            carry = init_carry
+            carries = []
+            for b in range(depth):
+                carries.append(carry)
+                carry = bounce_p(carry, svals, tuple(us[b]))
+
+            ct_carry = jax.tree_util.tree_map(ct_zero, carry)
+            ct_carry = (
+                ct_carry[0],
+                ct_carry[1],
+                V3(ctr_ref[:], ctg_ref[:], ctb_ref[:]),
+            ) + ct_carry[3:]
+
+            grads = [jnp.zeros((), jnp.float32) for _ in range(n_params)]
+            for b in reversed(range(depth)):
+                u_b = tuple(us[b])
+                _, vjp = jax.vjp(
+                    lambda c, p: bounce_p(c, p, u_b), carries[b], svals
+                )
+                ct_carry, gp = vjp(ct_carry)
+                grads = [a + g for a, g in zip(grads, gp)]
+        else:
+            # Interpret (CPU parity-test) path: both sweeps as lax.scan —
+            # the bounce body and its vjp trace/compile ONCE instead of
+            # per-depth (the unrolled form took XLA-CPU tens of minutes).
+            n_u = len(us[0])
+            us_stacked = tuple(
+                jnp.stack([us[b][j] for b in range(depth)])
+                for j in range(n_u)
             )
-            ct_carry, gp = vjp(ct_carry)
-            grads = [a + g for a, g in zip(grads, gp)]
+
+            def fwd_body(c, u_b):
+                return bounce_p(c, svals, u_b), c  # ys = entering carry
+
+            final_carry, carries_st = jax.lax.scan(
+                fwd_body, init_carry, us_stacked
+            )
+
+            ct0 = jax.tree_util.tree_map(ct_zero, final_carry)
+            ct0 = (
+                ct0[0],
+                ct0[1],
+                V3(ctr_ref[:], ctg_ref[:], ctb_ref[:]),
+            ) + ct0[3:]
+
+            def bwd_body(ct_f, xs):
+                carry_b, u_b = xs
+                _, vjp = jax.vjp(
+                    lambda c, p: bounce_p(c, p, u_b), carry_b, svals
+                )
+                ct_c, gp = vjp(unstrip(ct_f))
+                return strip(ct_c), gp
+
+            ct_f, gp_st = jax.lax.scan(
+                bwd_body, strip(ct0), (carries_st, us_stacked), reverse=True
+            )
+            ct_carry = unstrip(ct_f)
+            grads = [jnp.sum(g) for g in gp_st]  # each [depth] -> scalar
 
         # Camera gradients: the initial (ro, rd) depend on the packed
         # camera basis through raygen.
@@ -1245,7 +1353,7 @@ def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
     kernel = _make_kernel(
         backend, cfg.meta, cfg.width, cfg.height, cfg.spp, cfg.depth,
         tile_rows, cfg.quirks, cfg.inkernel_rng, cfg.has_media,
-        cfg.procedural,
+        cfg.procedural, cfg.interpret,
     )
     out_shape = (num_tiles * tile_rows, LANES)
     out_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -1281,7 +1389,7 @@ def _pallas_backward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all, 
     kernel = _make_grad_kernel(
         backend, cfg.meta, cfg.width, cfg.height, cfg.spp, cfg.depth,
         tile_rows, cfg.quirks, cfg.inkernel_rng, n_params, cfg.has_media,
-        cfg.procedural,
+        cfg.procedural, cfg.interpret,
     )
     ct_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     if cfg.inkernel_rng:
@@ -1513,9 +1621,11 @@ def _render_tiles_pallas(
         num_tiles = total_tiles
     n_pad = total_tiles * tile
 
-    meta = backend.meta_of(scene)
+    # Trailing meta element: whether the medium fields are packed — the
+    # scalar views key their material-record layout off it.
+    meta = backend.meta_of(scene) + (has_media,)
     respect = backend_name == "analytical" and bool(meta[2])
-    sv = backend.pack(scene, width, height)
+    sv = backend.pack(scene, width, height, has_media)
 
     if uniforms == "hbm":
         u_all = _uniform_rows(key, n, n_pad, depth)

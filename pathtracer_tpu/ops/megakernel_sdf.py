@@ -56,7 +56,8 @@ class _DetachRef:
         return jax.lax.stop_gradient(self._ref[idx])
 
 
-def pack_sdf_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
+def pack_sdf_scene(scene: Scene, width: int, height: int,
+                   with_medium: bool = True) -> jnp.ndarray:
     """Flatten camera + SdfParams + lights + materials (same contract as
     megakernel.pack_scene; pure jnp, so camera/geometry gradients flow)."""
     p: SdfParams = scene.params
@@ -79,7 +80,7 @@ def pack_sdf_scene(scene: Scene, width: int, height: int) -> jnp.ndarray:
     vals += _v3_list(p.sky_horizon) + _v3_list(p.sky_zenith) + [p.sky_scale]
 
     vals += pack_lights(scene)
-    vals += pack_materials(p.materials)
+    vals += pack_materials(p.materials, with_medium)
 
     flat = jnp.stack([jnp.asarray(x, f32) for x in vals])
     return flat[None, :]
@@ -89,7 +90,8 @@ class _SdfScalars(_CommonScalars):
     """In-kernel view of pack_sdf_scene's layout."""
 
     def __init__(self, ref, meta):
-        n_lights, S, B, T = meta
+        # meta = meta_of(scene) + (has_media,) (megakernel._render_tiles_pallas)
+        n_lights, S, B, T, with_medium = meta
         self._ref = ref
         self._off = 0
         get = self._get
@@ -118,7 +120,7 @@ class _SdfScalars(_CommonScalars):
         self.sky_scale = get()
 
         self._read_lights(n_lights)
-        self._read_materials(S + B + T + 1)
+        self._read_materials(S + B + T + 1, with_medium)
 
     def to_params(self) -> SdfParams:
         """SdfParams view for in-kernel procedural hooks (static-index
@@ -258,13 +260,17 @@ def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3, t_cap=None):
         return (step < MAX_STEPS) & (jnp.sum(1.0 - st[4]) > 0.5)
 
     def body(carry):
-        # MARCH_BLOCK straight-line steps per trip, then ONE convergence
-        # reduction: checking every step serializes the VPU pipeline on a
+        # MARCH_BLOCK steps per trip, then ONE convergence reduction:
+        # checking every step serializes the VPU pipeline on a
         # vector->scalar latency (measured ~2x slower than no early exit);
         # block-checking amortizes it while keeping block-granular exit.
+        # The block is a nested fori (body compiled once), not a Python
+        # unroll — an unrolled block made XLA-CPU/interpret compiles of
+        # the kernel ~15x slower for no measured TPU gain.
         step, st = carry
-        for _ in range(MARCH_BLOCK):
-            st = step_once(st)
+        st = jax.lax.fori_loop(
+            0, MARCH_BLOCK, lambda _i, s: step_once(s), st
+        )
         return step + MARCH_BLOCK, st
 
     t0 = jnp.zeros_like(ros.x)

@@ -34,7 +34,9 @@ def main() -> int:
     from pathtracer_tpu.ops.megakernel import render_frame_pallas
 
     use_xla = "--xla" in sys.argv or jax.devices()[0].platform == "cpu"
-    width, height, spp, depth, frames = 1920, 1080, 1, 4, 20
+    tile_rows = int(os.environ.get("BWD_TILE_ROWS", "8"))
+    depth = int(os.environ.get("BWD_DEPTH", "4"))
+    width, height, spp, frames = 1920, 1080, 1, 20
     scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=depth)
 
     def loss_fn(emission, rgb, key):
@@ -50,7 +52,8 @@ def main() -> int:
             )
         else:
             img = render_frame_pallas(
-                s, key, width, height, spp=spp, uniforms="inkernel", tile_rows=8
+                s, key, width, height, spp=spp, uniforms="inkernel",
+                tile_rows=tile_rows,
             )
         return jnp.mean(img[..., :3] ** 2)
 
@@ -78,6 +81,8 @@ def main() -> int:
                 "value": rays / dt,
                 "unit": "rays/s/chip",
                 "path": "xla" if use_xla else "pallas_custom_vjp",
+                "tile_rows": tile_rows,
+                "depth": depth,
             }
         )
     )
