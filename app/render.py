@@ -60,6 +60,9 @@ def make_renderer(cfg: RenderConfig, scene: pt.Scene, quirks):
     live here (round-1 VERDICT weak #9: no dead config, the CLI reaches
     the fast paths)."""
     sharded = cfg.mesh_tiles * cfg.mesh_spp > 1
+    # Pallas kernels compile via Mosaic only on real TPUs; on the CPU
+    # backend (e.g. --cpu) they must run in interpret mode.
+    interpret = jax.devices()[0].platform == "cpu"
     if sharded:
         from pathtracer_tpu.parallel.mesh import (
             make_mesh,
@@ -72,6 +75,7 @@ def make_renderer(cfg: RenderConfig, scene: pt.Scene, quirks):
             return lambda s, k: render_frame_sharded_pallas(
                 s, k, mesh, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks,
                 tile_rows=cfg.tile_rows, uniforms=cfg.rng,
+                interpret=interpret,
             )
         return lambda s, k: render_frame_sharded(
             s, k, mesh, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks,
@@ -82,7 +86,7 @@ def make_renderer(cfg: RenderConfig, scene: pt.Scene, quirks):
 
         return lambda s, k: render_frame_pallas(
             s, k, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks,
-            tile_rows=cfg.tile_rows, uniforms=cfg.rng,
+            tile_rows=cfg.tile_rows, uniforms=cfg.rng, interpret=interpret,
         )
     return lambda s, k: pt.render_frame(
         s, k, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks,

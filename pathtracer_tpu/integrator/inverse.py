@@ -154,9 +154,13 @@ def inverse_render(
     kernel="pallas" runs both renders AND the gradient through the fused
     megakernel with its custom-VJP backward kernel (~15x the XLA path's
     fwd+bwd throughput on TPU; see BASELINE.md). Limits: packed scenes
-    only (analytical / SDF, no media, no procedural_fn) and recursion
-    depth <= 6 on a v5e (deeper gradient kernels exceed compile limits —
-    use the default XLA path there). tile_rows applies to the megakernel.
+    only (analytical / SDF; media and procedural hooks are supported
+    in-kernel) and recursion depth <= 6 on a v5e (deeper gradient kernels
+    exceed compile limits — use the default XLA path there). tile_rows
+    applies to the megakernel. Media presence is detected from the
+    concrete input scene here (inside the jitted step the leaves are
+    tracers and render_frame_pallas's own auto-detection cannot see
+    them).
     """
     import optax
 
@@ -175,11 +179,11 @@ def inverse_render(
 
             def render(kk):
                 if kernel == "pallas":
-                    from ..ops.megakernel import render_frame_pallas
+                    from ..ops.megakernel import _detect_media, render_frame_pallas
 
                     return render_frame_pallas(
                         s, kk, width, height, spp=spp, quirks=quirks,
-                        tile_rows=tile_rows,
+                        tile_rows=tile_rows, media=_detect_media(scene),
                     )
                 return render_frame(
                     s, kk, width, height, spp=spp, quirks=quirks,

@@ -1633,7 +1633,10 @@ def _render_tiles_pallas(
             # carve this device's tile range out of the global rows
             u_all = jax.lax.dynamic_slice(
                 u_all,
-                (0, jnp.asarray(tile_base) * tile),
+                # Both indices pinned int32: under jax_enable_x64 a bare 0
+                # literal canonicalizes to int64 and dynamic_slice rejects
+                # mixed index dtypes.
+                (jnp.zeros((), jnp.int32), jnp.asarray(tile_base, jnp.int32) * tile),
                 (u_all.shape[0], num_tiles * tile),
             )
         seed = jnp.zeros((1, 1), jnp.int32)

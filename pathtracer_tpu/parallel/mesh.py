@@ -185,6 +185,11 @@ def render_frame_sharded_pallas(
     Note: uniforms="hbm" materializes the full-frame threefry rows on every
     device before slicing — intended for parity validation at small sizes;
     the production mode is "inkernel" (zero uniform bandwidth).
+
+    media=True compiles the volumetric-media path into the per-device
+    kernel (pass it explicitly: under shard_map the scene leaves are
+    tracers, so render_frame_pallas's concrete auto-detection is
+    unavailable here).
     """
     from jax.experimental.shard_map import shard_map
 

@@ -102,8 +102,19 @@ def test_sharded_pallas_grad_psums_across_devices(scene, mesh):
 
 def test_sharded_train_step_pallas_kernel(scene, mesh):
     """One full inverse-rendering step through the sharded megakernel
-    (kernel="pallas"): finite loss, parameters move toward the target."""
-    target = pt.render_frame(scene, jax.random.PRNGKey(9), W, H, spp=1)
+    (kernel="pallas"): finite loss, parameters move toward the target.
+
+    The target is rendered with the SAME key/renderer the train step uses
+    (common random numbers): under an independent-key single-sample MSE
+    the variance-bias term dominates at this tiny size and the TRUE
+    gradient pushes emission the wrong way (verified against central
+    differences) — the bias integrator/inverse.paired_image_loss exists
+    to remove. CRN makes the loss minimum exactly the target parameters,
+    so the descent direction is well-defined."""
+    target = render_frame_sharded_pallas(
+        scene, KEY, mesh, W, H, spp=1, tile_rows=8, uniforms="hbm",
+        interpret=True,
+    )
     target_flat = jnp.asarray(np.asarray(target[..., :3]).reshape(-1, 3))
     start = scene.replace(
         lights=scene.lights._replace(emission=scene.lights.emission * 0.5)

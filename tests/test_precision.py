@@ -117,16 +117,37 @@ def test_f32_sdf_tracks_f64():
     still far below any decision-flip signature."""
     from pathtracer_tpu.models.sdf import make_scene as make_sdf_scene
 
+    from pathtracer_tpu.integrator.tracer import trace
+    from pathtracer_tpu.models.camera import gen_ray, pixel_coords
+    from pathtracer_tpu.ops.vecmath import V2
+
     depth, seed = 4, 2
     key = jax.random.PRNGKey(seed)
+    # One shared decision stream: threefry f32 and f64 draws from the same
+    # key are UNRELATED sequences (observed under jax 0.9 partitionable
+    # threefry), so rendering each dtype with its own internal draw
+    # compares two different Monte-Carlo estimates, not two precisions.
+    # Draw once in f32 and widen — identical sample decisions, residual is
+    # pure rounding (same technique as the oracle-band tests above).
+    cam_u, bounce_u = pt.draw_uniforms(key, W * H, depth, jnp.float32)
     imgs = {}
     for dtype in (jnp.float32, jnp.float64):
         scene = make_sdf_scene(dtype=dtype, recursion_depth=depth)
-        imgs[dtype] = np.asarray(pt.render_frame(scene, key, W, H), np.float64)
-    # f32 and f64 draw different low-bit uniforms -> tiny decision jitter is
-    # possible at silhouettes; use quantiles, allow isolated outliers.
-    rel = np.abs(imgs[jnp.float32][..., :3] - imgs[jnp.float64][..., :3]) / (
-        np.abs(imgs[jnp.float64][..., :3]) + 1e-3
+        coords = pixel_coords(W, H, dtype)
+        offset = V2(cam_u[:, 0].astype(dtype), cam_u[:, 1].astype(dtype))
+        ro, rd = gen_ray(scene.camera, coords, offset, float(W), float(H))
+        radiance = trace(scene, ro, rd, bounce_u.astype(dtype))
+        imgs[dtype] = np.stack(
+            [np.asarray(radiance.x, np.float64).reshape(H, W),
+             np.asarray(radiance.y, np.float64).reshape(H, W),
+             np.asarray(radiance.z, np.float64).reshape(H, W)],
+            axis=-1,
+        )
+    # Iterated sphere-trace marching amplifies rounding; tiny decision
+    # jitter is possible at silhouettes — quantile bands, isolated
+    # outliers allowed.
+    rel = np.abs(imgs[jnp.float32] - imgs[jnp.float64]) / (
+        np.abs(imgs[jnp.float64]) + 1e-3
     )
     assert np.percentile(rel, 50) < 5e-4, np.percentile(rel, 50)
     assert np.percentile(rel, 95) < 5e-2, np.percentile(rel, 95)
