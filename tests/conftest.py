@@ -31,3 +31,8 @@ jax.config.update("jax_enable_x64", True)
 # render_frame variants; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pathtracer_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# ... but do NOT persist XLA:CPU AOT executables: under jaxlib 0.9 the AOT
+# loader reuses binaries whose recorded machine features mismatch the host
+# (cpu_aot_loader warns about SIGILL) and full-suite runs segfaulted
+# loading them. jaxpr-level caching stays on; the native-code cache is off.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
