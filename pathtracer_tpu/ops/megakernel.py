@@ -1543,7 +1543,11 @@ def _detect_media(scene: Scene) -> bool:
         return bool(
             (_np.asarray(scene.params.materials.medium.medium_type) != 0).any()
         )
-    except Exception:
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        # Traced leaves (inside an outer jit): cannot inspect — caller must
+        # pass media= explicitly. Any OTHER exception is a real bug in the
+        # material table and must propagate, not silently drop volumetrics.
         return False
 
 

@@ -223,10 +223,14 @@ def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3, t_cap=None):
       (consecutive pixels), so typical trip counts are far below
       MAX_STEPS — sky tiles escape in a handful of steps.
     - t_cap (per-lane, used by the shadow march): lanes stop once t
-      exceeds the light distance. Occlusion is decided by t < max_dist,
-      and any hit found beyond the cap would fail that comparison anyway,
-      so capping changes no boolean outcome — it only skips the pointless
-      march from the light to T_MAX.
+      exceeds the light distance WITH NO overstep-fail pending. Occlusion
+      is decided by t < max_dist, and any hit found beyond the cap would
+      fail that comparison anyway — but under over-relaxation t is NOT
+      monotone (a failed overstep backtracks by (omega-1)*step), so the
+      cap must wait for a pending backtrack to resolve before freezing
+      the lane, or it would miss an occluder the backtrack re-finds at
+      t < cap. With that guard, capping changes no boolean outcome — it
+      only skips the pointless march from the light to T_MAX.
     """
     scd = getattr(sc, "detached", sc)
     sg = jax.lax.stop_gradient
@@ -248,7 +252,13 @@ def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3, t_cap=None):
         new_step = jnp.where(fail, -(omega - 1.0) * step_len, d * omega)
         omega_n = jnp.where(fail, 1.0, omega)
         hit_now = (~fail) & (r < HIT_EPS)
-        done_n = done | hit_now | (t > cap)
+        # The cap term must NOT fire while an overstep-fail backtrack is
+        # pending: an omega>1 overstep can cross both an occluder and the
+        # cap in one step, and freezing the lane there would skip the
+        # backtrack that re-finds the occluder at t < cap. The unguarded
+        # T_MAX term stays for exact parity with models/sdf.sphere_trace,
+        # whose stop condition is `t > t_max` with no fail guard.
+        done_n = done | hit_now | ((t > cap) & ~fail) | (t > T_MAX)
         t_n = jnp.where(done_n, t, t + new_step)
         prev_r_n = jnp.where(done, prev_r, r)
         step_n = jnp.where(done, step_len, new_step)

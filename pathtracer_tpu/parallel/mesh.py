@@ -144,13 +144,6 @@ def render_frame_sharded(
     return img
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "mesh", "width", "height", "spp", "quirks", "tile_rows", "uniforms",
-        "interpret", "media",
-    ),
-)
 def render_frame_sharded_pallas(
     scene: Scene,
     key,
@@ -162,7 +155,7 @@ def render_frame_sharded_pallas(
     tile_rows: int = 16,
     uniforms: str = "inkernel",
     interpret: bool = False,
-    media: bool = False,
+    media: bool | None = None,
 ) -> jnp.ndarray:
     """Sharded megakernel render: the fused Pallas path under shard_map.
 
@@ -186,12 +179,44 @@ def render_frame_sharded_pallas(
     device before slicing — intended for parity validation at small sizes;
     the production mode is "inkernel" (zero uniform bandwidth).
 
-    media=True compiles the volumetric-media path into the per-device
-    kernel (pass it explicitly: under shard_map the scene leaves are
-    tracers, so render_frame_pallas's concrete auto-detection is
-    unavailable here).
+    media=None (default) auto-detects volumetric media from the concrete
+    material table BEFORE entering the jitted body — same behavior as the
+    single-device render_frame_pallas. Pass an explicit bool when calling
+    from inside an outer jit (the leaves are tracers there and
+    auto-detection cannot see them).
     """
-    from jax.experimental.shard_map import shard_map
+    from ..ops.megakernel import _detect_media
+
+    if media is None:
+        media = _detect_media(scene)
+    return _render_frame_sharded_pallas_jit(
+        scene, key, mesh=mesh, width=width, height=height, spp=spp,
+        quirks=quirks, tile_rows=tile_rows, uniforms=uniforms,
+        interpret=interpret, media=media,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "width", "height", "spp", "quirks", "tile_rows", "uniforms",
+        "interpret", "media",
+    ),
+)
+def _render_frame_sharded_pallas_jit(
+    scene: Scene,
+    key,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp: int = 1,
+    quirks: Quirks = VERBATIM,
+    tile_rows: int = 16,
+    uniforms: str = "inkernel",
+    interpret: bool = False,
+    media: bool = False,
+) -> jnp.ndarray:
+    from jax import shard_map
 
     from ..ops.megakernel import LANES, _render_tiles_pallas, _resolve_backend
 
@@ -218,7 +243,7 @@ def render_frame_sharded_pallas(
         mesh=flat_mesh,
         in_specs=(P(), P()),
         out_specs=P("rays"),
-        check_rep=False,
+        check_vma=False,
     )(scene, key)
 
     def finish(c):
