@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""Headline benchmark: forward rays/s on one chip at 1080p, Disney-BSDF
-analytical scene (BASELINE.md target: >= 1e8 rays/s/chip).
+"""Headline benchmarks on one chip at 1080p — THREE JSON lines:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. forward rays/s, analytical Disney-BSDF scene (target >= 1e8 rays/s/chip)
+2. forward+backward rays/s (custom-VJP backward Pallas kernel)
+3. forward rays/s, sphere-traced SDF scene (the reference's stated thesis
+   workload, /root/reference/Readme.md:76-84)
+
 Rays are counted conservatively as path segments only
 (width * height * spp * depth), excluding shadow rays — the actual traced-ray
 count is ~2x this (one NEE shadow ray per bounce).
@@ -12,7 +15,9 @@ Measurement notes (hard-won on the tunneled axon backend):
   every frame's execution is on the critical path;
 - the clock stops on a host readback of a scalar reduction of the
   accumulator (block_until_ready alone has been observed to return early
-  through the tunnel, reporting physically impossible rates).
+  through the tunnel, reporting physically impossible rates);
+- this 2-core host is dispatch-sensitive: run on an idle box (concurrent
+  pytest jobs cost 10-25% of reported rays/s).
 """
 
 import json
@@ -28,16 +33,49 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.p
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 
+WIDTH, HEIGHT, SPP = 1920, 1080, 1
+BASELINE = 1e8  # BASELINE.md: >= 1e8 rays/s/chip at 1080p
 
-def main() -> int:
+
+def _measure(frame, depth, frames, warmup):
+    """Chained-accumulator timing: acc -> sum -> host float stops the clock."""
+    acc = frame(jax.random.PRNGKey(0))
+    wkeys = jax.random.split(jax.random.PRNGKey(1), warmup)
+    for i in range(warmup):
+        acc = acc + frame(wkeys[i])
+    float(jnp.sum(acc))
+
+    keys = jax.random.split(jax.random.PRNGKey(2), frames)
+    t0 = time.perf_counter()
+    for i in range(frames):
+        acc = acc + frame(keys[i])
+    checksum = float(jnp.sum(acc))
+    dt = time.perf_counter() - t0
+    assert jnp.isfinite(checksum), f"non-finite checksum {checksum}"
+    return WIDTH * HEIGHT * SPP * depth * frames / dt
+
+
+def _emit(metric, value, **extra):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": value,
+                "unit": "rays/s/chip",
+                "vs_baseline": value / BASELINE,
+                **extra,
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_forward(on_tpu):
     import pathtracer_tpu as pt
     from pathtracer_tpu.ops.megakernel import render_frame_pallas
 
-    width, height, spp, depth, frames = 1920, 1080, 1, 4, 150
+    depth = 4
     scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=depth)
-    key = jax.random.PRNGKey(0)
-
-    on_tpu = jax.devices()[0].platform != "cpu"
 
     def frame(k):
         if on_tpu:
@@ -45,42 +83,105 @@ def main() -> int:
             # bandwidth); validated against the XLA integrator + f64 oracle
             # in tests/test_megakernel.py.
             return render_frame_pallas(
-                scene, k, width, height, spp=spp, uniforms="inkernel",
+                scene, k, WIDTH, HEIGHT, spp=SPP, uniforms="inkernel",
                 tile_rows=32,
             )
-        return pt.render_frame(scene, k, width, height, spp=spp)
+        return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
 
-    # Warm-up / compile, synced by readback. A handful of chained frames:
-    # the first few dispatches through the tunneled backend are erratically
-    # slow (queue/allocator warmup), which would otherwise pollute the
-    # measurement window.
-    acc = frame(key)
-    wkeys = jax.random.split(jax.random.PRNGKey(1), 16)
-    for i in range(16):
-        acc = acc + frame(wkeys[i])
-    float(jnp.sum(acc))
-
-    keys = jax.random.split(key, frames)
-    t0 = time.perf_counter()
-    for i in range(frames):
-        acc = acc + frame(keys[i])
-    checksum = float(jnp.sum(acc))  # forces execution of the whole chain
-    dt = time.perf_counter() - t0
-    assert jnp.isfinite(checksum), f"non-finite checksum {checksum}"
-
-    rays = width * height * spp * depth * frames
-    rays_per_s = rays / dt
-    baseline = 1e8  # BASELINE.md: >= 1e8 rays/s/chip forward at 1080p
-    print(
-        json.dumps(
-            {
-                "metric": "fwd_rays_per_s_1080p_depth4",
-                "value": rays_per_s,
-                "unit": "rays/s/chip",
-                "vs_baseline": rays_per_s / baseline,
-            }
-        )
+    value = _measure(
+        frame, depth,
+        frames=150 if on_tpu else 3, warmup=16 if on_tpu else 1,
     )
+    _emit("fwd_rays_per_s_1080p_depth4", value)
+
+
+def bench_forward_backward(on_tpu):
+    """Gradient of a pixel loss wrt (light emission, material albedo) through
+    the full bounce loop: the custom-VJP backward Pallas kernel replays the
+    tile's path and runs the VJP fused in VMEM (loop under differentiation:
+    /root/reference/rust-pathtracer/src/tracer.rs:61-103)."""
+    import pathtracer_tpu as pt
+    from pathtracer_tpu.ops.megakernel import render_frame_pallas
+
+    tile_rows = int(os.environ.get("BWD_TILE_ROWS", "8"))
+    depth = int(os.environ.get("BWD_DEPTH", "4"))
+    frames = 20
+    scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=depth)
+
+    def loss_fn(emission, rgb, key):
+        s = scene.replace(
+            lights=scene.lights._replace(emission=emission),
+            params=scene.params._replace(
+                materials=scene.params.materials._replace(rgb=rgb)
+            ),
+        )
+        if on_tpu:
+            img = render_frame_pallas(
+                s, key, WIDTH, HEIGHT, spp=SPP, uniforms="inkernel",
+                tile_rows=tile_rows,
+            )
+        else:
+            img = pt.render_frame(
+                s, key, WIDTH, HEIGHT, spp=SPP, detach=True, remat=True
+            )
+        return jnp.mean(img[..., :3] ** 2)
+
+    grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+    em, rgb = scene.lights.emission, scene.params.materials.rgb
+
+    def frame(k):
+        g_em, g_rgb = grad_fn(em, rgb, k)
+        return jnp.sum(g_em.x) + jnp.sum(g_rgb.x)
+
+    value = _measure(frame, depth, frames=frames, warmup=4)
+    _emit(
+        "fwd_bwd_rays_per_s_1080p_depth4", value,
+        path="pallas_custom_vjp" if on_tpu else "xla_remat",
+        tile_rows=tile_rows, depth=depth,
+    )
+
+
+def bench_sdf(on_tpu):
+    """Each "ray" is a path segment whose intersection is an over-relaxed
+    sphere-trace march (<= 96 steps, block-granular early exit) plus a
+    capped shadow march and Disney shading — not a closed-form test."""
+    import pathtracer_tpu as pt
+    from pathtracer_tpu.models.sdf import make_scene as make_sdf_scene
+    from pathtracer_tpu.ops.megakernel import render_frame_pallas
+    import pathtracer_tpu.ops.megakernel_sdf  # noqa: F401  (registers "sdf")
+
+    depth = 4
+    scene = make_sdf_scene(dtype=jnp.float32, recursion_depth=depth)
+
+    def frame(k):
+        if on_tpu:
+            return render_frame_pallas(
+                scene, k, WIDTH, HEIGHT, spp=SPP, uniforms="inkernel",
+                tile_rows=32,
+            )
+        return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
+
+    value = _measure(frame, depth, frames=40, warmup=8)
+    _emit("sdf_fwd_rays_per_s_1080p_depth4", value)
+
+
+def main() -> int:
+    on_tpu = jax.devices()[0].platform != "cpu"
+    only = os.environ.get("BENCH_ONLY", "")
+    if not on_tpu:
+        # CPU fallback (no Mosaic): forward XLA only, tiny frame budget —
+        # the number is meaningless for the TPU targets but keeps the
+        # script runnable anywhere.
+        bench_forward(on_tpu)
+        return 0
+    for name, fn in (
+        ("fwd", bench_forward),
+        ("bwd", bench_forward_backward),
+        ("sdf", bench_sdf),
+    ):
+        if only and name not in only.split(","):
+            continue
+        fn(on_tpu)
     return 0
 
 

@@ -683,7 +683,15 @@ class KernelBackend(NamedTuple):
 
     meta is a hashable tuple of static structure (counts) produced by
     `meta_of(scene)`; `view(ref, meta)` rebuilds the scalar view inside the
-    kernel; the three scene fns mirror trait Scene (scene.rs:5-90)."""
+    kernel; the three scene fns mirror trait Scene (scene.rs:5-90).
+
+    `matches(scene) -> bool` claims a Scene for this backend (dispatch is
+    first-registered-wins over `register_backend` order); `specialize`, if
+    set, returns a per-scene variant of the backend (the analytical backend
+    uses it to swap in the max_dist-respecting any_hit when the scene opts
+    into the fixed shadow semantics). Third-party backends register with
+    `register_backend` and need no edits here — see
+    tests/test_backend_plugin.py for a complete out-of-tree example."""
 
     name: str
     pack: Callable  # (scene, width, height) -> (1, P) f32
@@ -692,6 +700,8 @@ class KernelBackend(NamedTuple):
     closest_hit: Callable  # (sc, ro, rd) -> (t, normal, material)
     any_hit: Callable  # (sc, ro, rd, max_dist) -> bool
     background: Callable  # (sc, rd) -> V3
+    matches: Callable | None = None  # (scene) -> bool: claim this Scene
+    specialize: Callable | None = None  # (scene, backend) -> backend
 
 
 def _analytical_meta(scene: Scene) -> tuple:
@@ -711,43 +721,57 @@ def _analytical_any_hit_dispatch(sc, ro, rd, max_dist, respect=False):
     return (_any_hit_respect if respect else _any_hit)(sc, ro, rd, max_dist)
 
 
+def _analytical_matches(scene: Scene) -> bool:
+    from ..models import analytical as _ana
+
+    return scene.closest_hit_fn is _ana.closest_hit
+
+
+def _analytical_specialize(scene: Scene, b: "KernelBackend") -> "KernelBackend":
+    from ..models import analytical as _ana
+
+    if scene.any_hit_fn is _ana.any_hit_respecting_max_dist:
+        return b._replace(any_hit=_any_hit_respect)
+    return b
+
+
 ANALYTICAL_BACKEND = KernelBackend(
     name="analytical",
     pack=pack_scene,
     meta_of=_analytical_meta,
     view=_analytical_view,
     closest_hit=_closest_hit,
-    any_hit=_any_hit,  # replaced per-meta in _resolve_backend
+    any_hit=_any_hit,  # swapped per-scene by specialize
     background=_background,
+    matches=_analytical_matches,
+    specialize=_analytical_specialize,
 )
 
 _BACKENDS: dict[str, KernelBackend] = {"analytical": ANALYTICAL_BACKEND}
 
 
 def register_backend(backend: KernelBackend) -> None:
+    """Register a kernel scene backend (the in-kernel `impl Scene`).
+
+    Dispatch is by `backend.matches(scene)`; anything a test or downstream
+    package registers here is reachable from render_frame_pallas without
+    edits to this module."""
     _BACKENDS[backend.name] = backend
 
 
 def _resolve_backend(scene: Scene) -> KernelBackend:
-    """Pick the kernel backend for a Scene by its closest_hit function."""
-    from ..models import analytical as _ana
-
-    if scene.closest_hit_fn is _ana.closest_hit:
-        b = _BACKENDS["analytical"]
-        if scene.any_hit_fn is _ana.any_hit_respecting_max_dist:
-            b = b._replace(any_hit=_any_hit_respect)
-        return b
+    """Pick the kernel backend whose `matches` claims this Scene."""
     try:
-        from ..models import sdf as _sdf
         from . import megakernel_sdf  # noqa: F401  (registers "sdf")
-
-        if scene.closest_hit_fn is _sdf.closest_hit:
-            return _BACKENDS["sdf"]
     except ImportError:
         pass
+    for b in _BACKENDS.values():
+        if b.matches is not None and b.matches(scene):
+            return b.specialize(scene, b) if b.specialize is not None else b
     raise NotImplementedError(
-        "no Pallas kernel backend for this scene's closest_hit_fn; "
-        "use integrator.tracer.render_frame (XLA path)"
+        "no Pallas kernel backend claims this scene's closest_hit_fn; "
+        "register one via ops.megakernel.register_backend(KernelBackend(...))"
+        " or use integrator.tracer.render_frame (XLA path)"
     )
 
 
@@ -1414,6 +1438,15 @@ def _pallas_backward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all, 
         ),
         out_shape=jax.ShapeDtypeStruct((1, n_params), jnp.float32),
         interpret=cfg.interpret,
+        # The reverse sweep's per-bounce relinearization residuals + carry
+        # stack exceed the 16 MiB default scoped-VMEM budget at depth >= 7
+        # (measured: 18.09 MiB at depth 8, tile_rows 8 — "Ran out of memory
+        # in memory space vmem ... on stack"). The v5e has 128 MiB of VMEM;
+        # raise the per-kernel cap so deep-path gradients compile instead
+        # of falling back to the 115x-slower XLA path.
+        compiler_params=None if cfg.interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(sv, seed, base, u_all, *ct)
     return gsv
 

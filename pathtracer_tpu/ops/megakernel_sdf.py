@@ -385,6 +385,12 @@ def _sdf_meta(scene: Scene) -> tuple:
     )
 
 
+def _sdf_matches(scene: Scene) -> bool:
+    from ..models import sdf as _sdf
+
+    return scene.closest_hit_fn is _sdf.closest_hit
+
+
 SDF_BACKEND = KernelBackend(
     name="sdf",
     pack=pack_sdf_scene,
@@ -393,6 +399,7 @@ SDF_BACKEND = KernelBackend(
     closest_hit=_closest_hit_sdf,
     any_hit=_any_hit_sdf,
     background=_background_sdf,
+    matches=_sdf_matches,
 )
 
 register_backend(SDF_BACKEND)

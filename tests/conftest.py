@@ -36,3 +36,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # (cpu_aot_loader warns about SIGILL) and full-suite runs segfaulted
 # loading them. jaxpr-level caching stays on; the native-code cache is off.
 jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_executables():
+    """Unmap each module's compiled executables when the module finishes.
+
+    Root cause of the round-3 'full suite segfaults at test ~81' failure:
+    every XLA:CPU compiled executable mmaps its JIT code sections and jax
+    caches executables for the process lifetime, so a full run accumulates
+    memory mappings (~65k after ~90 tests — measured against this host's
+    vm.max_map_count=65530). At the limit, mmap fails inside
+    backend_compile_and_load / cache deserialization and the process dies
+    with SIGSEGV/SIGABRT. Individual files pass because no single module
+    compiles anywhere near the limit. Dropping jax's executable caches at
+    module boundaries keeps the peak at O(one module), ~5-8k mappings.
+    Cross-module recompiles are cheap: test programs are module-specific,
+    and the persistent jaxpr cache (above) covers the shared ones.
+    """
+    yield
+    jax.clear_caches()

@@ -9,7 +9,9 @@ exp(-(1-color)·density·t) per segment and Emissive adds color·density·t.
 Scatter performs HG-phase single scattering: exponential free-flight
 sampling, NEE at the scatter point with the phase function, HG-sampled
 continuation (integrator.tracer scatter block + cpu_oracle mirror). The
-Pallas megakernel rejects media scenes eagerly (NotImplementedError).
+Pallas megakernel runs all three media types fused in-kernel (a static
+has_media flag elides the code for media-free scenes); parity is proven by
+test_megakernel_media_parity below.
 """
 
 import jax
