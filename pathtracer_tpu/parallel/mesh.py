@@ -156,6 +156,7 @@ def render_frame_sharded_pallas(
     uniforms: str = "inkernel",
     interpret: bool = False,
     media: bool | None = None,
+    tiling: str = "auto",
 ) -> jnp.ndarray:
     """Sharded megakernel render: the fused Pallas path under shard_map.
 
@@ -185,7 +186,7 @@ def render_frame_sharded_pallas(
     from inside an outer jit (the leaves are tracers there and
     auto-detection cannot see them).
     """
-    from ..ops.megakernel import _detect_media
+    from ..ops.megakernel import _detect_media, resolve_tiling
 
     if media is None:
         media = _detect_media(scene)
@@ -193,6 +194,7 @@ def render_frame_sharded_pallas(
         scene, key, mesh=mesh, width=width, height=height, spp=spp,
         quirks=quirks, tile_rows=tile_rows, uniforms=uniforms,
         interpret=interpret, media=media,
+        tiling=resolve_tiling(tiling, spp),
     )
 
 
@@ -200,7 +202,7 @@ def render_frame_sharded_pallas(
     jax.jit,
     static_argnames=(
         "mesh", "width", "height", "spp", "quirks", "tile_rows", "uniforms",
-        "interpret", "media",
+        "interpret", "media", "tiling",
     ),
 )
 def _render_frame_sharded_pallas_jit(
@@ -215,6 +217,7 @@ def _render_frame_sharded_pallas_jit(
     uniforms: str = "inkernel",
     interpret: bool = False,
     media: bool = False,
+    tiling: str = "flat",
 ) -> jnp.ndarray:
     from jax import shard_map
 
@@ -226,7 +229,11 @@ def _render_frame_sharded_pallas_jit(
     flat_mesh = Mesh(devs, ("rays",))
     n = width * height * spp
     tile = tile_rows * LANES
-    total_tiles = -(-n // tile)
+    if tiling == "block":
+        nbx, nby = -(-width // LANES), -(-height // tile_rows)
+        total_tiles = nbx * nby
+    else:
+        total_tiles = -(-n // tile)
     local_tiles = -(-total_tiles // ndev)
 
     def shard_fn(scene, key):
@@ -235,7 +242,7 @@ def _render_frame_sharded_pallas_jit(
         return _render_tiles_pallas(
             scene, key, width, height, spp, quirks, tile_rows, uniforms,
             interpret, backend_name, tile_base=base, num_tiles=local_tiles,
-            has_media=media,
+            has_media=media, tiling=tiling,
         )
 
     r, g, b = shard_map(
@@ -246,9 +253,17 @@ def _render_frame_sharded_pallas_jit(
         check_vma=False,
     )(scene, key)
 
-    def finish(c):
-        c = c.reshape(-1)[:n].reshape(height * width, spp).mean(axis=1)
-        return c.reshape(height, width)
+    if tiling == "block":
+        # ndev * local_tiles may exceed total_tiles: surplus tiles rendered
+        # border-clamped duplicates; drop them before block reassembly.
+        def finish(c):
+            c = c[: total_tiles * tile_rows].reshape(nby, nbx, tile_rows, LANES)
+            c = c.transpose(0, 2, 1, 3).reshape(nby * tile_rows, nbx * LANES)
+            return c[:height, :width]
+    else:
+        def finish(c):
+            c = c.reshape(-1)[:n].reshape(height * width, spp).mean(axis=1)
+            return c.reshape(height, width)
 
     return jnp.stack(
         [finish(r), finish(g), finish(b), jnp.ones((height, width), jnp.float32)],

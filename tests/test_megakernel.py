@@ -40,6 +40,28 @@ def test_hbm_parity_vs_xla(scene):
     assert diff.mean() < 1e-5
 
 
+def test_tiling_modes_match_xla(scene):
+    """Both tile layouts — flat ray ranges and compact 2-D pixel blocks
+    (the production default at spp=1, chosen for SDF march coherence:
+    measured +49% on the 1080p SDF kernel) — must match the XLA image on
+    hbm uniforms, at an edge-exercising non-multiple-of-tile size. The
+    per-pixel threefry stream makes the image tiling-invariant."""
+    key = jax.random.PRNGKey(9)
+    w, h = 150, 37
+    ref = np.asarray(render_frame(scene, key, w, h, spp=1))
+    for tiling in ("flat", "block"):
+        img = np.asarray(
+            render_frame_pallas(
+                scene, key, w, h, spp=1, uniforms="hbm", tile_rows=8,
+                interpret=True, tiling=tiling,
+            )
+        )
+        diff = np.abs(ref - img)
+        assert np.isfinite(img).all(), tiling
+        assert np.quantile(diff, 0.999) < 1e-4, tiling
+        assert diff.mean() < 1e-5, tiling
+
+
 def test_hbm_parity_multi_spp(scene):
     key = jax.random.PRNGKey(11)
     w, h = 32, 24

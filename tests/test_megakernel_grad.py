@@ -109,6 +109,23 @@ def test_grad_geometry_and_camera(scene):
     np.testing.assert_allclose(_flat(g_pal), _flat(g_xla), rtol=1e-2, atol=1e-7)
 
 
+@pytest.mark.slow
+def test_grad_depth8_matches_xla(scene):
+    """Deep-path gradients: depth 8 (2x the reference's default knob,
+    scene.rs:28-30) through the backward kernel. On the v5e the compiled
+    kernel needs the raised per-kernel VMEM cap (the reverse sweep's
+    residuals exceed the 16 MiB default scoped-VMEM budget at depth >= 7,
+    ops/megakernel._pallas_backward); this interpret-mode twin runs the
+    identical per-bounce op sequence via lax.scan."""
+    deep = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=8)
+    loss_pal, loss_xla = _losses(deep)
+    em, rgb = deep.lights.emission, deep.params.materials.rgb
+    g_pal = jax.grad(loss_pal, argnums=(0, 1))(em, rgb)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1))(em, rgb)
+    np.testing.assert_allclose(_flat(g_pal), _flat(g_xla), rtol=5e-3, atol=1e-8)
+    assert np.abs(_flat(g_pal)).max() > 1e-6
+
+
 def test_value_and_grad_consistent_with_forward(scene):
     """custom_vjp's forward must be the plain forward (no estimator drift
     between the primal used for loss values and the one used for grads)."""

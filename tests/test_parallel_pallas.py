@@ -66,6 +66,26 @@ def test_sharded_pallas_spp(scene, mesh):
     )
 
 
+def test_sharded_block_tiling_straddling_device_range(scene, mesh):
+    """Block tiling with a tile count (9) that straddles a device's range
+    (8 devices, 2 local tiles each: device 4 owns one valid + one surplus
+    tile). Exercises the hbm uniform-slice padding — without it,
+    dynamic_slice clamps the straddling device's start and its valid tile
+    reads the wrong uniform columns."""
+    w, h = 100, 65  # nbx=1, nby=ceil(65/8)=9 -> 9 block tiles
+    single = render_frame_pallas(
+        scene, KEY, w, h, spp=1, uniforms="hbm", tile_rows=8, interpret=True,
+        tiling="block",
+    )
+    sharded = render_frame_sharded_pallas(
+        scene, KEY, mesh, w, h, spp=1, uniforms="hbm", tile_rows=8,
+        interpret=True, tiling="block",
+    )
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), atol=2e-6, rtol=1e-6
+    )
+
+
 def test_sharded_pallas_grad_psums_across_devices(scene, mesh):
     """jax.grad through shard_map + the backward kernel: per-device packed
     cotangents must be psum'd into the same gradient the single-device
