@@ -1114,6 +1114,46 @@ def _trace_tile(
     return carry[2]
 
 
+def _trace_tile_counts(sc, backend, ro, rd, us, depth, quirks: Quirks,
+                       has_media: bool = False, procedural=None,
+                       interpret: bool = False):
+    """Instrumented twin of _trace_tile: also returns the alive-lane count
+    ENTERING each bounce (the in-kernel analog of
+    integrator.tracer.measure_occupancy — counts[0] == tile size by
+    construction; 1 - counts[b]/tile is what compaction could recover at
+    bounce b). The f32 sum is exact (counts <= tile << 2^24) and avoids a
+    Mosaic bool-vector reduction."""
+
+    def alive_count(carry):
+        return jnp.sum(carry[4].astype(jnp.float32)).astype(jnp.int32)
+
+    carry = _tile_init_carry(ro, rd, quirks, has_media)
+    if not interpret:
+        counts = []
+        for b in range(depth):
+            counts.append(alive_count(carry))
+            carry = _tile_bounce(
+                sc, backend, carry, tuple(us[b]), quirks, False, has_media,
+                procedural,
+            )
+        return carry[2], counts
+
+    n_u = len(us[0])
+    us_stacked = tuple(
+        jnp.stack([us[b][j] for b in range(depth)]) for j in range(n_u)
+    )
+
+    def body(c, u_slices):
+        n_alive = alive_count(c)
+        c = _tile_bounce(
+            sc, backend, c, u_slices, quirks, False, has_media, procedural,
+        )
+        return c, n_alive
+
+    carry, counts = jax.lax.scan(body, carry, us_stacked)
+    return carry[2], [counts[b] for b in range(depth)]
+
+
 def _make_uniform_fn(shape, inkernel_rng: bool, u_ref):
     """Sequential uniform source: TPU core PRNG or HBM rows. Call order IS
     the stream definition — forward and backward kernels must draw in the
@@ -1172,12 +1212,17 @@ def _make_kernel(
     procedural=None,
     interpret: bool = False,
     tiling: str = "flat",
+    instrument: bool = False,
 ):
-    """Forward kernel body: raygen + fused path loop + radiance writeback."""
+    """Forward kernel body: raygen + fused path loop + radiance writeback.
+
+    instrument=True appends an i32 SMEM output row with per-bounce
+    alive-lane counts (occ_ref[0, b] = lanes alive entering bounce b)."""
     shape = (tile_rows, LANES)
     tile = tile_rows * LANES
 
-    def body(sp_ref, seed_ref, base_ref, u_ref, r_ref, g_ref, b_ref):
+    def body(sp_ref, seed_ref, base_ref, u_ref, r_ref, g_ref, b_ref,
+             *occ_refs):
         sc = backend.view(sp_ref, meta)
         tile_id = pl.program_id(0)
         global_tile = base_ref[0, 0] + tile_id
@@ -1192,10 +1237,26 @@ def _make_kernel(
         else:
             lane_base = global_tile * tile
             ro, rd = _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
-        radiance = _trace_tile(
-            sc, backend, ro, rd, us, depth, quirks, has_media=has_media,
-            procedural=procedural, interpret=interpret,
-        )
+        if instrument:
+            radiance, counts = _trace_tile_counts(
+                sc, backend, ro, rd, us, depth, quirks, has_media=has_media,
+                procedural=procedural, interpret=interpret,
+            )
+            # Mosaic rejects per-tile-indexed SMEM rows narrower than the
+            # (8, 128) tile grain, so the counts ride out in lane b of row
+            # 0 of an aligned VMEM block.
+            (occ_ref,) = occ_refs
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+            acc = jnp.zeros((8, LANES), jnp.int32)
+            for b in range(depth):
+                acc = jnp.where((row == 0) & (col == b), counts[b], acc)
+            occ_ref[:] = acc
+        else:
+            radiance = _trace_tile(
+                sc, backend, ro, rd, us, depth, quirks, has_media=has_media,
+                procedural=procedural, interpret=interpret,
+            )
 
         r_ref[:] = radiance.x
         g_ref[:] = radiance.y
@@ -1452,6 +1513,124 @@ def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
         ),
         interpret=cfg.interpret,
     )(sv, seed, base, u_all)
+
+
+def _pallas_forward_occupancy(cfg: _KernelConfig, num_tiles: int, sv, seed,
+                              base, u_all):
+    """Instrumented forward launch: (r, g, b, occ) where occ[t, b] is the
+    alive-lane count of tile t entering bounce b."""
+    backend = _cfg_backend(cfg)
+    tile_rows = cfg.tile_rows
+    tile = tile_rows * LANES
+    kernel = _make_kernel(
+        backend, cfg.meta, cfg.width, cfg.height, cfg.spp, cfg.depth,
+        tile_rows, cfg.quirks, cfg.inkernel_rng, cfg.has_media,
+        cfg.procedural, cfg.interpret, cfg.tiling, instrument=True,
+    )
+    out_shape = (num_tiles * tile_rows, LANES)
+    out_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if cfg.inkernel_rng:
+        u_spec = pl.BlockSpec((1, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        u_rows = 2 + cfg.depth * U_PER_BOUNCE
+        u_spec = pl.BlockSpec((u_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, sv.shape[1]), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            u_spec,
+        ],
+        out_specs=(
+            out_spec, out_spec, out_spec,
+            pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * 8, LANES), jnp.int32),
+        ),
+        interpret=cfg.interpret,
+    )(sv, seed, base, u_all)
+
+
+def measure_occupancy_pallas(
+    scene: Scene,
+    key,
+    width: int,
+    height: int,
+    spp: int = 1,
+    quirks: Quirks = VERBATIM,
+    tile_rows: int = 32,
+    uniforms: str = "inkernel",
+    interpret: bool = False,
+    tiling: str = "auto",
+):
+    """Masked-lane occupancy measured INSIDE the fused Pallas kernel.
+
+    The XLA-path twin (integrator.tracer.measure_occupancy) instruments the
+    slow path; the masking economics actually bind here, in the kernel that
+    sustains ~1e9 rays/s — this runs the real kernel with an extra i32 SMEM
+    output of per-tile alive-lane counts entering each bounce (the masked
+    `break`s of tracer.rs:66-97). Returns a dict:
+      alive_fraction [depth] — mean alive fraction entering each bounce;
+      wasted_fraction        — 1 - mean(alive_fraction): the ceiling on
+                               what ray compaction could recover;
+      counts [num_tiles, depth] raw per-tile counts (spatial structure).
+    """
+    from . import megakernel_sdf  # noqa: F401  (registers "sdf")
+
+    backend = _resolve_backend(scene)
+    has_media = _detect_media(scene)
+    tiling = resolve_tiling(tiling, spp)
+    depth = scene.recursion_depth
+    n = width * height * spp
+    tile = tile_rows * LANES
+    if tiling == "block":
+        num_tiles = pl.cdiv(width, LANES) * pl.cdiv(height, tile_rows)
+    else:
+        num_tiles = pl.cdiv(n, tile)
+
+    meta = backend.meta_of(scene) + (has_media,)
+    respect = backend.name == "analytical" and bool(meta[2])
+    sv = backend.pack(scene, width, height, has_media)
+    if uniforms == "hbm":
+        if tiling == "block":
+            u_flat = _uniform_rows(key, n, n, depth)
+            u_all = u_flat[:, _block_lane_to_flat(width, height, tile_rows)]
+        else:
+            u_all = _uniform_rows(key, n, num_tiles * tile, depth)
+        seed = jnp.zeros((1, 1), jnp.int32)
+    else:
+        seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        u_all = jnp.zeros((1, tile), jnp.float32)
+    base = jnp.zeros((1, 1), jnp.int32)
+    cfg = _KernelConfig(
+        backend_name=backend.name, meta=meta, width=width, height=height,
+        spp=spp, depth=depth, tile_rows=tile_rows,
+        quirks=quirks, inkernel_rng=(uniforms != "hbm"), interpret=interpret,
+        respect_max_dist=respect, has_media=has_media,
+        procedural=scene.procedural_fn, tiling=tiling,
+    )
+    r, g, b, occ = _pallas_forward_occupancy(
+        cfg, int(num_tiles), sv, seed, base, u_all
+    )
+    counts = _np.asarray(occ).reshape(int(num_tiles), 8, LANES)[:, 0, :depth]
+    # Edge tiles carry border-clamped duplicate lanes (block) or padded
+    # rays (flat); their bounce-0 counts still equal the tile size, so the
+    # fractions are a faithful model of lanes the hardware actually runs.
+    alive_fraction = counts.mean(axis=0) / float(tile)
+    return {
+        "alive_fraction": alive_fraction,
+        "wasted_fraction": 1.0 - float(alive_fraction.mean()),
+        "counts": counts,
+        "tile": tile,
+        "num_tiles": int(num_tiles),
+        "tiling": tiling,
+    }
 
 
 def _pallas_backward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all, ct):

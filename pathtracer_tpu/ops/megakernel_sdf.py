@@ -286,9 +286,14 @@ def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3, t_cap=None):
     t0 = jnp.zeros_like(ros.x)
     zero = jnp.zeros_like(t0)
     st0 = (t0, zero, zero, jnp.full_like(t0, OMEGA), zero)
-    _, (t_star, _, _, _, _) = jax.lax.while_loop(
+    steps_taken, (t_star, _, _, _, _) = jax.lax.while_loop(
         cond, body, (jnp.int32(0), st0)
     )
+    # Block-granular trip count (multiple of MARCH_BLOCK): the number of
+    # march steps this tile actually executed before every lane converged
+    # or escaped — the quantity the 2-D tiling optimizes. Stashed on the
+    # march for measure_march_steps; costs nothing when unread (DCE).
+    _sphere_trace.last_steps = steps_taken
 
     x_star = ros + rds * t_star
     hit = (jnp.abs(_sdf(scd, x_star)) < 2.0 * HIT_EPS) & (t_star <= T_MAX)
@@ -383,6 +388,85 @@ def _sdf_meta(scene: Scene) -> tuple:
         int(p.box_round.shape[0]),
         int(p.torus_major.shape[0]),
     )
+
+
+def measure_march_steps(
+    scene: Scene,
+    width: int,
+    height: int,
+    tile_rows: int = 32,
+    tiling: str = "block",
+    interpret: bool = False,
+):
+    """Per-tile primary-ray march trip counts from the real kernel march.
+
+    Launches a measurement kernel that raygens center-of-pixel rays and
+    runs the production _sphere_trace (same over-relaxation, same
+    block-granular early exit), emitting each tile's executed step count
+    (a multiple of MARCH_BLOCK — the whole tile marches until its worst
+    lane converges, which is exactly why compact 2-D pixel tiles beat flat
+    scanline ranges). Returns a dict with the per-tile counts and their
+    mean/max; compare tiling="flat" vs "block" to see the envelope shrink.
+    """
+    import numpy as np
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .megakernel import (
+        LANES as _LANES,
+        _raygen,
+        _raygen_block,
+        resolve_tiling,
+    )
+
+    tiling = resolve_tiling(tiling, 1)
+    shape = (tile_rows, _LANES)
+    tile = tile_rows * _LANES
+    n = width * height
+    if tiling == "block":
+        num_tiles = pl.cdiv(width, _LANES) * pl.cdiv(height, tile_rows)
+    else:
+        num_tiles = pl.cdiv(n, tile)
+    meta = _sdf_meta(scene) + (False,)
+    sv = pack_sdf_scene(scene, width, height, False)
+
+    def body(sp_ref, steps_ref):
+        sc = _sdf_view(sp_ref, meta)
+        tile_id = pl.program_id(0)
+        half = jnp.full(shape, 0.5, jnp.float32)
+        if tiling == "block":
+            ro, rd = _raygen_block(sc, shape, tile_id, width, height, half, half)
+        else:
+            ro, rd = _raygen(sc, shape, tile_id * tile, 1, width, height,
+                             half, half)
+        _sphere_trace(sc, ro, rd)
+        # Mosaic rejects per-tile SMEM rows narrower than the (8, 128)
+        # grain; broadcast the scalar trip count over an aligned VMEM block.
+        steps_ref[:] = jnp.broadcast_to(
+            _sphere_trace.last_steps, (8, _LANES)
+        )
+
+    out = pl.pallas_call(
+        body,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, sv.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((int(num_tiles) * 8, _LANES), jnp.int32),
+        interpret=interpret,
+    )(sv)
+    counts = np.asarray(out).reshape(int(num_tiles), 8, _LANES)[:, 0, 0]
+    return {
+        "steps_per_tile": counts,
+        "mean_steps": float(counts.mean()),
+        "max_steps": int(counts.max()),
+        "tiling": tiling,
+        "num_tiles": int(num_tiles),
+    }
 
 
 def _sdf_matches(scene: Scene) -> bool:
