@@ -53,11 +53,54 @@ class V2(NamedTuple):
 
     __rmul__ = __mul__
 
+    def __truediv__(self, o):
+        # fx.rs:124-205 registers the F2 '/' operators for rhai (F2/F2,
+        # F2/F, F/F2); componentwise like the F3 Div impls.
+        if isinstance(o, V2):
+            return V2(self.x / o.x, self.y / o.y)
+        return V2(self.x / o, self.y / o)
+
+    def __rtruediv__(self, o):
+        return V2(o / self.x, o / self.y)
+
     def dot(self, o: "V2") -> jnp.ndarray:
         return self.x * o.x + self.y * o.y
 
     def length(self) -> jnp.ndarray:
         return jnp.sqrt(self.dot(self))
+
+    def normalize(self) -> "V2":
+        """fx.rs:76-81 (in-place there; functional here like V3)."""
+        return self / self.length()
+
+    def abs(self) -> "V2":
+        return V2(jnp.abs(self.x), jnp.abs(self.y))  # fx.rs:88-90
+
+    def floor(self) -> "V2":
+        return V2(jnp.floor(self.x), jnp.floor(self.y))
+
+    def fract(self) -> "V2":
+        """GLSL fract = x - floor(x) (the F3 twin is fx.rs:326-329)."""
+        return V2(self.x - jnp.floor(self.x), self.y - jnp.floor(self.y))
+
+    def mult_f(self, f) -> "V2":
+        return V2(self.x * f, self.y * f)  # fx.rs:96-100
+
+    def max_f(self, f) -> "V2":
+        return V2(jnp.maximum(self.x, f), jnp.maximum(self.y, f))  # fx.rs:102-105
+
+    # --- swizzles to 3-vectors (fx.rs:107-122), used by SDF normal tricks
+    def xyy(self) -> "V3":
+        return V3(self.x, self.y, self.y)
+
+    def yyx(self) -> "V3":
+        return V3(self.y, self.y, self.x)
+
+    def yxy(self) -> "V3":
+        return V3(self.y, self.x, self.y)
+
+    def xxx(self) -> "V3":
+        return V3(self.x, self.x, self.x)
 
 
 class V3(NamedTuple):

@@ -111,3 +111,35 @@ def test_hex_color():
 
 def test_luminance_rec709():
     assert float(vm.luminance(vm.v3(1.0, 1.0, 1.0))) == pytest.approx(1.0)
+
+
+def test_v2_full_surface(rng):
+    """V2 carries the reference F2's whole method surface (fx.rs:19-205):
+    normalize/div/floor/fract/abs/max_f + the F3-producing swizzles."""
+    a = vm.V2(jnp.asarray(rng.random(8) + 0.5), jnp.asarray(rng.random(8) + 0.5))
+    b = vm.V2(jnp.asarray(rng.random(8) + 0.5), jnp.asarray(rng.random(8) + 0.5))
+
+    n = a.normalize()
+    np.testing.assert_allclose(np.asarray(n.length()), 1.0, rtol=1e-6)
+
+    d = a / b
+    np.testing.assert_allclose(np.asarray(d.x), np.asarray(a.x / b.x), rtol=1e-7)
+    s = 2.0 / a
+    np.testing.assert_allclose(np.asarray(s.y), 2.0 / np.asarray(a.y), rtol=1e-7)
+
+    fr = a.fract()
+    np.testing.assert_allclose(
+        np.asarray(fr.x), np.asarray(a.x) - np.floor(np.asarray(a.x)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.floor().y), np.floor(np.asarray(a.y))
+    )
+    assert (np.asarray(a.max_f(1.2).x) >= 1.2).all()
+    np.testing.assert_allclose(np.asarray((a * -1.0).abs().x), np.asarray(a.x))
+
+    sw = a.xyy()
+    assert isinstance(sw, vm.V3)
+    np.testing.assert_allclose(np.asarray(sw.z), np.asarray(a.y))
+    np.testing.assert_allclose(np.asarray(a.yxy().x), np.asarray(a.y))
+    np.testing.assert_allclose(np.asarray(a.xxx().z), np.asarray(a.x))
+    np.testing.assert_allclose(np.asarray(a.mult_f(3.0).x), np.asarray(a.x) * 3.0)
