@@ -103,7 +103,7 @@ def bench_forward_backward(on_tpu):
     import pathtracer_tpu as pt
     from pathtracer_tpu.ops.megakernel import render_frame_pallas
 
-    tile_rows = int(os.environ.get("BWD_TILE_ROWS", "8"))
+    tile_rows = int(os.environ.get("BWD_TILE_ROWS", "16"))
     depth = int(os.environ.get("BWD_DEPTH", "4"))
     frames = 20
     scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=depth)

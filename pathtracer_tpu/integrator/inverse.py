@@ -135,7 +135,7 @@ def inverse_render(
     unbiased: bool = True,
     verbose: bool = False,
     kernel: str = "xla",
-    tile_rows: int = 8,
+    tile_rows: int = 16,
 ) -> OptResult:
     """Adam-optimize the selected scene leaves against a target image.
 
@@ -245,7 +245,7 @@ def recover_demo(
     ),
     kernel: str = "pallas",
     mesh=None,
-    tile_rows: int = 8,
+    tile_rows: int = 16,
     ckpt_dir: str | None = None,
     ckpt_every: int = 20,
     recursion_depth: int = 4,

@@ -1668,11 +1668,18 @@ def _pallas_backward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all, 
         interpret=cfg.interpret,
         # The reverse sweep's per-bounce relinearization residuals + carry
         # stack exceed the 16 MiB default scoped-VMEM budget at depth >= 7
-        # (measured: 18.09 MiB at depth 8, tile_rows 8 — "Ran out of memory
-        # in memory space vmem ... on stack"). The v5e has 128 MiB of VMEM;
-        # raise the per-kernel cap so deep-path gradients compile instead
-        # of falling back to the 115x-slower XLA path.
-        compiler_params=None if cfg.interpret else pltpu.CompilerParams(
+        # or tile_rows >= 16 (measured: 18.09 MiB at depth 8, tile_rows 8 —
+        # "Ran out of memory in memory space vmem ... on stack"). The v5e
+        # has 128 MiB of VMEM; raise the per-kernel cap there so deep-path
+        # and wide-tile gradients compile instead of falling back to the
+        # 115x-slower XLA path — the unlocked tile_rows=16 backward kernel
+        # measures 3.5e8 rays/s fwd+bwd at 1080p depth 4, 2.8x the best
+        # tile_rows=8 number. Configs that fit the default budget keep it:
+        # the raised cap changes the compiler's buffer placement and was
+        # measured to cost tile_rows=8/depth<=6 ~4x.
+        compiler_params=None if (
+            cfg.interpret or (cfg.depth <= 6 and cfg.tile_rows < 16)
+        ) else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(sv, seed, base, u_all, *ct)

@@ -34,7 +34,7 @@ def main() -> int:
     from pathtracer_tpu.ops.megakernel import render_frame_pallas
 
     use_xla = "--xla" in sys.argv or jax.devices()[0].platform == "cpu"
-    tile_rows = int(os.environ.get("BWD_TILE_ROWS", "8"))
+    tile_rows = int(os.environ.get("BWD_TILE_ROWS", "16"))
     depth = int(os.environ.get("BWD_DEPTH", "4"))
     width, height, spp, frames = 1920, 1080, 1, 20
     scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=depth)
