@@ -819,10 +819,23 @@ def _raygen(sc, shape, lane_base, spp, width, height, ox, oy):
     return ro, rd
 
 
-def _raygen_block(sc, shape, global_tile, width, height, ox, oy):
+def _tile_geometry(tiling: str, tile_rows: int):
+    """(block_w, block_h) pixel rectangle covered by one (tile_rows, LANES)
+    tile, or None for flat ray-range tiling. "block" = LANES-wide strips
+    (tile_rows high); "square" folds each 128-lane row onto 2 pixel rows of
+    64 — a squarer region with a smaller diameter, which tightens the SDF
+    march envelope further than the 4:1 "block" rectangle."""
+    if tiling == "flat":
+        return None
+    bw = LANES if tiling == "block" else 64
+    return bw, tile_rows * (LANES // bw)
+
+
+def _raygen_block(sc, shape, global_tile, width, height, ox, oy, bw=LANES):
     """Camera ray generation for 2-D pixel-block tiling: tile `global_tile`
-    covers the compact (tile_rows x LANES) pixel rectangle at block coords
-    (by, bx) = divmod(tile, cdiv(width, LANES)).
+    covers a compact (bh x bw) pixel rectangle at block coords
+    (by, bx) = divmod(tile, cdiv(width, bw)), where each lane row holds
+    LANES/bw consecutive pixel rows of width bw.
 
     Spatial coherence is the point: a flat (tile_rows*LANES)-ray range at
     1080p spans 2+ full scanlines, so the SDF march's block-granular early
@@ -832,13 +845,15 @@ def _raygen_block(sc, shape, global_tile, width, height, ox, oy):
     host-side assembly; in-kernel RNG consumption is per-tile and identical
     for every lane, so clamping costs nothing)."""
     tile_rows = shape[0]
-    nbx = pl.cdiv(width, LANES)
+    sub = LANES // bw  # pixel rows folded into one lane row
+    nbx = pl.cdiv(width, bw)
     by = global_tile // nbx
     bx = global_tile - by * nbx
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    px_i = jnp.minimum(bx * LANES + col, width - 1)
-    py_i = jnp.minimum(by * tile_rows + row, height - 1)
+    px_i = jnp.minimum(bx * bw + col % bw, width - 1)
+    py_i = jnp.minimum(by * (tile_rows * sub) + row * sub + col // bw,
+                       height - 1)
     px = px_i.astype(jnp.float32)
     py = py_i.astype(jnp.float32)
     cx = px * jnp.float32(1.0 / width)
@@ -1232,8 +1247,11 @@ def _make_kernel(
         uniform = _make_uniform_fn(shape, inkernel_rng, u_ref)
         ox, oy, us = _draw_all(uniform, depth, inkernel_rng, has_media)
 
-        if tiling == "block":
-            ro, rd = _raygen_block(sc, shape, global_tile, width, height, ox, oy)
+        geom = _tile_geometry(tiling, tile_rows)
+        if geom is not None:
+            ro, rd = _raygen_block(
+                sc, shape, global_tile, width, height, ox, oy, bw=geom[0]
+            )
         else:
             lane_base = global_tile * tile
             ro, rd = _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
@@ -1317,9 +1335,10 @@ def _make_grad_kernel(
 
         def raygen_p(params):
             sc = backend.view(_TupleRef(params), meta)
-            if tiling == "block":
+            geom = _tile_geometry(tiling, tile_rows)
+            if geom is not None:
                 return _raygen_block(
-                    sc, shape, global_tile, width, height, ox, oy
+                    sc, shape, global_tile, width, height, ox, oy, bw=geom[0]
                 )
             return _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
 
@@ -1477,7 +1496,7 @@ class _KernelConfig(NamedTuple):
     respect_max_dist: bool = False
     has_media: bool = False
     procedural: Callable | None = None
-    tiling: str = "flat"  # "flat" ray ranges | "block" 2-D pixel rectangles
+    tiling: str = "flat"  # "flat" ray ranges | "block"/"square" 2-D pixel rectangles
 
 
 def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
@@ -1589,8 +1608,9 @@ def measure_occupancy_pallas(
     depth = scene.recursion_depth
     n = width * height * spp
     tile = tile_rows * LANES
-    if tiling == "block":
-        num_tiles = pl.cdiv(width, LANES) * pl.cdiv(height, tile_rows)
+    geom = _tile_geometry(tiling, tile_rows)
+    if geom is not None:
+        num_tiles = pl.cdiv(width, geom[0]) * pl.cdiv(height, geom[1])
     else:
         num_tiles = pl.cdiv(n, tile)
 
@@ -1598,9 +1618,10 @@ def measure_occupancy_pallas(
     respect = backend.name == "analytical" and bool(meta[2])
     sv = backend.pack(scene, width, height, has_media)
     if uniforms == "hbm":
-        if tiling == "block":
+        if geom is not None:
             u_flat = _uniform_rows(key, n, n, depth)
-            u_all = u_flat[:, _block_lane_to_flat(width, height, tile_rows)]
+            u_all = u_flat[:, _block_lane_to_flat(width, height, tile_rows,
+                                                  geom[0])]
         else:
             u_all = _uniform_rows(key, n, num_tiles * tile, depth)
         seed = jnp.zeros((1, 1), jnp.int32)
@@ -1820,8 +1841,10 @@ def resolve_tiling(tiling: str, spp: int) -> str:
     (block raygen has no sample-interleaving layout)."""
     if tiling == "auto":
         return "block" if spp == 1 else "flat"
-    if tiling not in ("flat", "block"):
-        raise ValueError(f"tiling must be 'auto'|'flat'|'block', got {tiling!r}")
+    if tiling not in ("flat", "block", "square"):
+        raise ValueError(
+            f"tiling must be 'auto'|'flat'|'block'|'square', got {tiling!r}"
+        )
     return tiling
 
 
@@ -1875,13 +1898,16 @@ def _render_frame_pallas(
     )
     n = width * height * spp
 
-    if tiling == "block":
-        nbx = pl.cdiv(width, LANES)
-        nby = pl.cdiv(height, tile_rows)
+    geom = _tile_geometry(tiling, tile_rows)
+    if geom is not None:
+        bw, bh = geom
+        sub = LANES // bw
+        nbx = pl.cdiv(width, bw)
+        nby = pl.cdiv(height, bh)
 
         def finish(c):
-            c = c.reshape(nby, nbx, tile_rows, LANES)
-            c = c.transpose(0, 2, 1, 3).reshape(nby * tile_rows, nbx * LANES)
+            c = c.reshape(nby, nbx, tile_rows, sub, bw)
+            c = c.transpose(0, 2, 3, 1, 4).reshape(nby * bh, nbx * bw)
             return c[:height, :width]
     else:
 
@@ -1927,10 +1953,11 @@ def _render_tiles_pallas(
     depth = scene.recursion_depth
     n = width * height * spp
     tile = tile_rows * LANES
-    if tiling == "block":
+    geom = _tile_geometry(tiling, tile_rows)
+    if geom is not None:
         if spp != 1:
-            raise ValueError("tiling='block' requires spp == 1")
-        total_tiles = pl.cdiv(width, LANES) * pl.cdiv(height, tile_rows)
+            raise ValueError(f"tiling={tiling!r} requires spp == 1")
+        total_tiles = pl.cdiv(width, geom[0]) * pl.cdiv(height, geom[1])
     else:
         total_tiles = pl.cdiv(n, tile)
     if num_tiles is None:
@@ -1944,9 +1971,10 @@ def _render_tiles_pallas(
     sv = backend.pack(scene, width, height, has_media)
 
     if uniforms == "hbm":
-        if tiling == "block":
+        if geom is not None:
             u_flat = _uniform_rows(key, n, n, depth)
-            u_all = u_flat[:, _block_lane_to_flat(width, height, tile_rows)]
+            u_all = u_flat[:, _block_lane_to_flat(width, height, tile_rows,
+                                                  geom[0])]
         else:
             u_all = _uniform_rows(key, n, n_pad, depth)
         if not isinstance(tile_base, int) or tile_base != 0:
@@ -1994,22 +2022,29 @@ def _render_tiles_pallas(
 
 
 @lru_cache(maxsize=None)
-def _block_lane_to_flat(width: int, height: int, tile_rows: int) -> _np.ndarray:
+def _block_lane_to_flat(width: int, height: int, tile_rows: int,
+                        bw: int = LANES) -> _np.ndarray:
     """Static permutation: kernel-lane order (tile-major, row, col) ->
-    flat pixel index, for hbm uniform rows under tiling="block". Edge
+    flat pixel index, for hbm uniform rows under 2-D tiling (mirrors
+    _raygen_block's lane->pixel map for the given block width). Edge
     blocks clamp to the border like _raygen_block (those lanes' outputs
     are cropped, so the uniform values they see are irrelevant — clamping
     just keeps every index valid)."""
-    nbx = -(-width // LANES)
-    nby = -(-height // tile_rows)
+    sub = LANES // bw
+    bh = tile_rows * sub
+    nbx = -(-width // bw)
+    nby = -(-height // bh)
     t = _np.arange(nbx * nby)
     by, bx = t // nbx, t % nbx
+    rows = _np.arange(tile_rows)
+    cols = _np.arange(LANES)
     py = _np.minimum(
-        by[:, None, None] * tile_rows + _np.arange(tile_rows)[None, :, None],
+        by[:, None, None] * bh + rows[None, :, None] * sub
+        + (cols // bw)[None, None, :],
         height - 1,
     )
     px = _np.minimum(
-        bx[:, None, None] * LANES + _np.arange(LANES)[None, None, :],
+        bx[:, None, None] * bw + (cols % bw)[None, None, :],
         width - 1,
     )
     return (py * width + px).reshape(-1)

@@ -417,6 +417,7 @@ def measure_march_steps(
         LANES as _LANES,
         _raygen,
         _raygen_block,
+        _tile_geometry,
         resolve_tiling,
     )
 
@@ -424,8 +425,9 @@ def measure_march_steps(
     shape = (tile_rows, _LANES)
     tile = tile_rows * _LANES
     n = width * height
-    if tiling == "block":
-        num_tiles = pl.cdiv(width, _LANES) * pl.cdiv(height, tile_rows)
+    geom = _tile_geometry(tiling, tile_rows)
+    if geom is not None:
+        num_tiles = pl.cdiv(width, geom[0]) * pl.cdiv(height, geom[1])
     else:
         num_tiles = pl.cdiv(n, tile)
     meta = _sdf_meta(scene) + (False,)
@@ -435,8 +437,9 @@ def measure_march_steps(
         sc = _sdf_view(sp_ref, meta)
         tile_id = pl.program_id(0)
         half = jnp.full(shape, 0.5, jnp.float32)
-        if tiling == "block":
-            ro, rd = _raygen_block(sc, shape, tile_id, width, height, half, half)
+        if geom is not None:
+            ro, rd = _raygen_block(sc, shape, tile_id, width, height, half,
+                                   half, bw=geom[0])
         else:
             ro, rd = _raygen(sc, shape, tile_id * tile, 1, width, height,
                              half, half)

@@ -229,8 +229,11 @@ def _render_frame_sharded_pallas_jit(
     flat_mesh = Mesh(devs, ("rays",))
     n = width * height * spp
     tile = tile_rows * LANES
-    if tiling == "block":
-        nbx, nby = -(-width // LANES), -(-height // tile_rows)
+    from ..ops.megakernel import _tile_geometry
+
+    geom = _tile_geometry(tiling, tile_rows)
+    if geom is not None:
+        nbx, nby = -(-width // geom[0]), -(-height // geom[1])
         total_tiles = nbx * nby
     else:
         total_tiles = -(-n // tile)
@@ -253,12 +256,17 @@ def _render_frame_sharded_pallas_jit(
         check_vma=False,
     )(scene, key)
 
-    if tiling == "block":
+    if geom is not None:
+        bw, bh = geom
+        sub = LANES // bw
+
         # ndev * local_tiles may exceed total_tiles: surplus tiles rendered
         # border-clamped duplicates; drop them before block reassembly.
         def finish(c):
-            c = c[: total_tiles * tile_rows].reshape(nby, nbx, tile_rows, LANES)
-            c = c.transpose(0, 2, 1, 3).reshape(nby * tile_rows, nbx * LANES)
+            c = c[: total_tiles * tile_rows].reshape(
+                nby, nbx, tile_rows, sub, bw
+            )
+            c = c.transpose(0, 2, 3, 1, 4).reshape(nby * bh, nbx * bw)
             return c[:height, :width]
     else:
         def finish(c):

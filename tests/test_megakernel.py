@@ -49,7 +49,7 @@ def test_tiling_modes_match_xla(scene):
     key = jax.random.PRNGKey(9)
     w, h = 150, 37
     ref = np.asarray(render_frame(scene, key, w, h, spp=1))
-    for tiling in ("flat", "block"):
+    for tiling in ("flat", "block", "square"):
         img = np.asarray(
             render_frame_pallas(
                 scene, key, w, h, spp=1, uniforms="hbm", tile_rows=8,
