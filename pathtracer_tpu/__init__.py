@@ -32,7 +32,20 @@ from .integrator.tracer import (
     sample_lights_emitter,
     trace,
 )
-from .integrator.inverse import inverse_render, render_loss
+from .integrator.inverse import (
+    RecoverReport,
+    RecoverRow,
+    inverse_render,
+    recover_demo,
+    render_loss,
+)
+from .ops.megakernel import (
+    KernelBackend,
+    measure_occupancy_pallas,
+    register_backend,
+    render_frame_pallas,
+    resolve_tiling,
+)
 from .models.analytical import (
     AnalyticalParams,
     default_params as analytical_default_params,
