@@ -166,6 +166,53 @@ def bench_sdf(on_tpu):
 
     def frame(k):
         if on_tpu:
+            # tile_rows=40: 27 exact block rows at 1080p (no bottom-edge
+            # waste); measured marginally above 32 (1.69e8 vs 1.66e8).
+            return render_frame_pallas(
+                scene, k, WIDTH, HEIGHT, spp=SPP, uniforms="inkernel",
+                tile_rows=40,
+            )
+        return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
+
+    value = _measure(frame, depth, frames=40, warmup=12)
+    _emit("sdf_fwd_rays_per_s_1080p_depth4", value)
+
+
+def bench_media(on_tpu):
+    """Volumetric media on the fast path: the analytical scene with a glass
+    sphere filled with an HG-phase scattering medium (the reference's
+    Medium is declared-but-dead, material.rs:16-34 + Readme.md:13 TODO;
+    here the full free-flight/NEE/HG-continuation path runs fused in the
+    kernel when the material table declares a medium)."""
+    import pathtracer_tpu as pt
+    from pathtracer_tpu.ops.megakernel import render_frame_pallas
+
+    depth = 6  # media paths need the extra bounces through the interface
+    scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=depth)
+    mats = scene.params.materials
+    mats = mats._replace(
+        spec_trans=mats.spec_trans.at[1].set(1.0),
+        metallic=mats.metallic.at[1].set(0.0),
+        roughness=mats.roughness.at[1].set(0.05),
+        ior=mats.ior.at[1].set(1.5),
+    )
+    med = mats.medium
+    med = med._replace(
+        medium_type=med.medium_type.at[1].set(int(pt.MediumType.SCATTER)),
+        density=med.density.at[1].set(0.6),
+        color=med.color._replace(
+            x=med.color.x.at[1].set(0.9),
+            y=med.color.y.at[1].set(0.6),
+            z=med.color.z.at[1].set(0.3),
+        ),
+        anisotropy=med.anisotropy.at[1].set(0.4),
+    )
+    scene = scene.replace(
+        params=scene.params._replace(materials=mats._replace(medium=med))
+    )
+
+    def frame(k):
+        if on_tpu:
             return render_frame_pallas(
                 scene, k, WIDTH, HEIGHT, spp=SPP, uniforms="inkernel",
                 tile_rows=32,
@@ -173,7 +220,7 @@ def bench_sdf(on_tpu):
         return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
 
     value = _measure(frame, depth, frames=40, warmup=12)
-    _emit("sdf_fwd_rays_per_s_1080p_depth4", value)
+    _emit("media_fwd_rays_per_s_1080p_depth6", value)
 
 
 def main() -> int:
@@ -189,6 +236,7 @@ def main() -> int:
         ("fwd", bench_forward),
         ("bwd", bench_forward_backward),
         ("sdf", bench_sdf),
+        ("media", bench_media),
     ):
         if only and name not in only.split(","):
             continue

@@ -40,7 +40,7 @@ def main() -> int:
     def frame(k):
         return render_frame_pallas(
             scene, k, width, height, spp=spp, uniforms="inkernel",
-            tile_rows=32,
+            tile_rows=40,
         )
 
     acc = frame(key)
