@@ -210,7 +210,8 @@ def _normal(sc: _SdfScalars, x: V3) -> V3:
     return safe_normalize(V3(gx, gy, gz))
 
 
-def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3, t_cap=None):
+def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3, t_cap=None,
+                  want_steps: bool = False):
     """March t += sdf (detached view) + Newton reattachment for parameter
     gradients — the in-kernel twin of models/sdf.sphere_trace.
 
@@ -289,11 +290,12 @@ def _sphere_trace(sc: _SdfScalars, ro: V3, rd: V3, t_cap=None):
     steps_taken, (t_star, _, _, _, _) = jax.lax.while_loop(
         cond, body, (jnp.int32(0), st0)
     )
-    # Block-granular trip count (multiple of MARCH_BLOCK): the number of
-    # march steps this tile actually executed before every lane converged
-    # or escaped — the quantity the 2-D tiling optimizes. Stashed on the
-    # march for measure_march_steps; costs nothing when unread (DCE).
-    _sphere_trace.last_steps = steps_taken
+    if want_steps:
+        # Instrumentation mode (measure_march_steps): return the
+        # block-granular trip count — the number of march steps this tile
+        # executed before every lane converged or escaped, the quantity
+        # the 2-D tiling optimizes.
+        return steps_taken
 
     x_star = ros + rds * t_star
     hit = (jnp.abs(_sdf(scd, x_star)) < 2.0 * HIT_EPS) & (t_star <= T_MAX)
@@ -443,12 +445,10 @@ def measure_march_steps(
         else:
             ro, rd = _raygen(sc, shape, tile_id * tile, 1, width, height,
                              half, half)
-        _sphere_trace(sc, ro, rd)
+        steps = _sphere_trace(sc, ro, rd, want_steps=True)
         # Mosaic rejects per-tile SMEM rows narrower than the (8, 128)
         # grain; broadcast the scalar trip count over an aligned VMEM block.
-        steps_ref[:] = jnp.broadcast_to(
-            _sphere_trace.last_steps, (8, _LANES)
-        )
+        steps_ref[:] = jnp.broadcast_to(steps, (8, _LANES))
 
     out = pl.pallas_call(
         body,
