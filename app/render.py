@@ -50,7 +50,13 @@ def build_scene(cfg: RenderConfig) -> pt.Scene:
         from pathtracer_tpu.models.sdf import make_scene as make_sdf_scene
 
         return make_sdf_scene(dtype=cfg.dtype, recursion_depth=cfg.depth)
-    raise SystemExit(f"unknown scene {cfg.scene!r} (choose analytical|sdf)")
+    if cfg.scene == "mesh":
+        from pathtracer_tpu.models.mesh import make_scene as make_mesh_scene
+
+        return make_mesh_scene(dtype=cfg.dtype, recursion_depth=cfg.depth)
+    raise SystemExit(
+        f"unknown scene {cfg.scene!r} (choose analytical|sdf|mesh)"
+    )
 
 
 def make_renderer(cfg: RenderConfig, scene: pt.Scene, quirks):

@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Headline benchmarks on one chip at 1080p — THREE JSON lines:
+"""Headline benchmarks on one chip at 1080p — one JSON line per metric:
 
 1. forward rays/s, analytical Disney-BSDF scene (target >= 1e8 rays/s/chip)
 2. forward+backward rays/s (custom-VJP backward Pallas kernel)
 3. forward rays/s, sphere-traced SDF scene (the reference's stated thesis
    workload, /root/reference/Readme.md:76-84)
+4. forward rays/s, volumetric-media scene (glass sphere + HG scatter medium)
+5. forward rays/s, triangle-mesh scene (beyond the reference's scope)
 
 Rays are counted conservatively as path segments only
 (width * height * spp * depth), excluding shadow rays — the actual traced-ray
@@ -223,6 +225,28 @@ def bench_media(on_tpu):
     _emit("media_fwd_rays_per_s_1080p_depth6", value)
 
 
+def bench_mesh(on_tpu):
+    """Triangle-mesh scene family (beyond the reference's scope): 20-tri
+    demo mesh, Moller-Trumbore unrolled in-kernel over static topology."""
+    import pathtracer_tpu as pt
+    from pathtracer_tpu.models.mesh import make_scene as make_mesh_scene
+    from pathtracer_tpu.ops.megakernel import render_frame_pallas
+
+    depth = 4
+    scene = make_mesh_scene(dtype=jnp.float32, recursion_depth=depth)
+
+    def frame(k):
+        if on_tpu:
+            return render_frame_pallas(
+                scene, k, WIDTH, HEIGHT, spp=SPP, uniforms="inkernel",
+                tile_rows=32,
+            )
+        return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
+
+    value = _measure(frame, depth, frames=60, warmup=12)
+    _emit("mesh_fwd_rays_per_s_1080p_depth4", value)
+
+
 def main() -> int:
     on_tpu = jax.devices()[0].platform != "cpu"
     only = os.environ.get("BENCH_ONLY", "")
@@ -237,6 +261,7 @@ def main() -> int:
         ("bwd", bench_forward_backward),
         ("sdf", bench_sdf),
         ("media", bench_media),
+        ("mesh", bench_mesh),
     ):
         if only and name not in only.split(","):
             continue

@@ -52,6 +52,11 @@ from .models.analytical import (
     make_scene as make_analytical_scene,
 )
 from .models.camera import Pinhole, default_pinhole, gen_ray, pixel_coords
+from .models.mesh import (
+    MeshParams,
+    default_params as mesh_default_params,
+    make_scene as make_mesh_scene,
+)
 from .models.sdf import (
     SdfParams,
     default_params as sdf_default_params,

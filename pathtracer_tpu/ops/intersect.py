@@ -73,3 +73,34 @@ def ray_plane(ro: V3, rd: V3, normal: V3, point: V3, eps: float = 0.0001) -> jnp
     t = dot(point - ro, normal) / safe_denom
     miss = (jnp.abs(denom) <= eps) | (t < 0.0)
     return jnp.where(miss, MISS, t)
+
+
+def ray_triangle(ro: V3, rd: V3, v0: V3, v1: V3, v2: V3,
+                 eps: float = 1e-7) -> jnp.ndarray:
+    """Möller-Trumbore ray/triangle test, two-sided.
+
+    Returns hit distance t (> eps) or +inf on miss. No counterpart in the
+    reference (it ships only analytic spheres/planes, renderer/src/
+    analytical.rs:163-213) — this powers the mesh scene family the
+    reference's README only aspires to ("render classic analytical
+    shapes ...", Readme.md:76-84). Two-sided: the determinant's sign is
+    not culled, so winding does not matter for visibility (normals are
+    oriented against the ray by the caller)."""
+    from .vecmath import cross as _cross
+
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = _cross(rd, e2)
+    det = dot(e1, p)
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+    s = ro - v0
+    u = dot(s, p) * inv_det
+    q = _cross(s, e1)
+    v = dot(rd, q) * inv_det
+    t = dot(e2, q) * inv_det
+    ok = (
+        (jnp.abs(det) > eps)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > eps)
+    )
+    return jnp.where(ok, t, MISS)

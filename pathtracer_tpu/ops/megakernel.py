@@ -762,7 +762,7 @@ def register_backend(backend: KernelBackend) -> None:
 def _resolve_backend(scene: Scene) -> KernelBackend:
     """Pick the kernel backend whose `matches` claims this Scene."""
     try:
-        from . import megakernel_sdf  # noqa: F401  (registers "sdf")
+        from . import megakernel_mesh, megakernel_sdf  # noqa: F401  (register "sdf"/"mesh")
     except ImportError:
         pass
     for b in _BACKENDS.values():
