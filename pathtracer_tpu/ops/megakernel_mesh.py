@@ -67,6 +67,26 @@ class _MeshScalars(_CommonScalars):
         n_mats = int(max(tri_mat)) + 1 if tri_mat else 1
         self._read_materials(n_mats, with_medium)
 
+    def to_params(self):
+        """MeshParams view for in-kernel procedural hooks (static-index
+        _ScalarRow leaves; see megakernel._SceneScalars.to_params)."""
+        from ..models.mesh import MeshParams
+        from .megakernel import _ScalarRow
+
+        return MeshParams(
+            vertices=V3(
+                _ScalarRow([v.x for v in self.verts]),
+                _ScalarRow([v.y for v in self.verts]),
+                _ScalarRow([v.z for v in self.verts]),
+            ),
+            materials=self._material_table(),
+            sky_horizon=self.sky_horizon,
+            sky_zenith=self.sky_zenith,
+            sky_scale=self.sky_scale,
+            tri_idx=self.tri_idx,
+            tri_mat=self.tri_mat,
+        )
+
 
 def _mesh_view(ref, meta):
     return _MeshScalars(ref, meta)

@@ -71,6 +71,26 @@ def test_mesh_kernel_matches_xla():
     )
 
 
+def test_mesh_procedural_hook_in_kernel():
+    """Scene.procedural_fn traced into the MESH kernel (the dormant rhai
+    intent, material.rs:77): the hook reads the rebuilt MeshParams view and
+    rewrites the surface material; kernel matches XLA on hbm uniforms."""
+
+    def hook(params, hit, ro, rd):
+        m = hit.material
+        y = (ro + rd * jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)).y
+        return m._replace(rgb=m.rgb * jnp.clip(0.5 + 0.25 * y, 0.2, 1.0))
+
+    scene = make_mesh_scene(recursion_depth=2).replace(procedural_fn=hook)
+    img_xla = pt.render_frame(scene, KEY, W, H, spp=1)
+    img_pal = render_frame_pallas(
+        scene, KEY, W, H, spp=1, uniforms="hbm", tile_rows=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_pal), np.asarray(img_xla), rtol=1e-4, atol=1e-5
+    )
+
+
 def _tiny_mesh_scene(recursion_depth=2):
     """3-triangle scene (ground quad + one standing triangle): keeps the
     interpret-mode BACKWARD kernel compile tractable — the full 20-tri demo
