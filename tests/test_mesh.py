@@ -81,7 +81,9 @@ def test_mesh_procedural_hook_in_kernel():
         y = (ro + rd * jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)).y
         return m._replace(rgb=m.rgb * jnp.clip(0.5 + 0.25 * y, 0.2, 1.0))
 
-    scene = make_mesh_scene(recursion_depth=2).replace(procedural_fn=hook)
+    # the 3-tri scene: hook mechanics are per-material, not per-triangle,
+    # and the small mesh keeps the interpret compile to ~1 min
+    scene = _tiny_mesh_scene(recursion_depth=2).replace(procedural_fn=hook)
     img_xla = pt.render_frame(scene, KEY, W, H, spp=1)
     img_pal = render_frame_pallas(
         scene, KEY, W, H, spp=1, uniforms="hbm", tile_rows=8, interpret=True
