@@ -633,9 +633,16 @@ def _sample_light_unrolled(sc, scatter_pos: V3, u, detach: bool = False):
 
 def _direct_light(
     sc, any_hit_fn, rd: V3, fhp: V3, ffnormal: V3, material, eta, u,
-    detach: bool = False,
+    detach: bool = False, active=None,
 ):
-    """NEE (tracer.rs:126-170) — surface variant: Disney BSDF eval + MIS."""
+    """NEE (tracer.rs:126-170) — surface variant: Disney BSDF eval + MIS.
+
+    `active` (optional lane mask): lanes that are masked out by the caller
+    or fail the light-facing test get max_dist = 0 for the occlusion query
+    — boolean-identical (a non-facing/inactive lane's contribution is
+    zeroed by `ok` / the caller's mask regardless of in_shadow), and for
+    march-based backends it stops their shadow march after one block
+    instead of marching the full light distance."""
     shape = jnp.shape(rd.x)
     if len(sc.lights) == 0:
         return zeros3(shape, jnp.float32)
@@ -644,7 +651,10 @@ def _direct_light(
         sc, scatter_pos, u, detach
     )
     facing = dot(direction, normal) < 0.0  # tracer.rs:148
-    in_shadow = any_hit_fn(sc, scatter_pos, direction, dist - EPS)
+    relevant = facing if active is None else (facing & active)
+    in_shadow = any_hit_fn(
+        sc, scatter_pos, direction, jnp.where(relevant, dist - EPS, 0.0)
+    )
     f, bsdf_pdf = disney_eval(material, eta, -rd, ffnormal, direction)
     mis = jnp.where(area > 0.0, power_heuristic(pdf, bsdf_pdf), 1.0)
     ok = facing & (~in_shadow) & (bsdf_pdf > 0.0) & (pdf > 0.0)
@@ -654,10 +664,12 @@ def _direct_light(
 
 def _scatter_direct_light(
     sc, any_hit_fn, rd: V3, scatter_pos: V3, g, u, detach: bool = False,
+    active=None,
 ):
     """NEE from a volumetric scatter point (integrator.tracer
     _scatter_direct_light): the HG phase function p(cosθ; g) replaces the
-    surface BSDF as both value and pdf in the MIS weight."""
+    surface BSDF as both value and pdf in the MIS weight. `active` as in
+    _direct_light (shadow-march cap gating, boolean-identical)."""
     shape = jnp.shape(rd.x)
     if len(sc.lights) == 0:
         return zeros3(shape, jnp.float32)
@@ -665,7 +677,10 @@ def _scatter_direct_light(
         sc, scatter_pos, u, detach
     )
     facing = dot(direction, normal) < 0.0  # tracer.rs:148
-    in_shadow = any_hit_fn(sc, scatter_pos, direction, dist - EPS)
+    relevant = facing if active is None else (facing & active)
+    in_shadow = any_hit_fn(
+        sc, scatter_pos, direction, jnp.where(relevant, dist - EPS, 0.0)
+    )
     p = hg_phase(dot(rd, direction), g)
     mis = jnp.where(area > 0.0, power_heuristic(pdf, p), 1.0)
     ok = facing & (~in_shadow) & (p > 0.0) & (pdf > 0.0)
@@ -702,6 +717,7 @@ class KernelBackend(NamedTuple):
     background: Callable  # (sc, rd) -> V3
     matches: Callable | None = None  # (scene) -> bool: claim this Scene
     specialize: Callable | None = None  # (scene, backend) -> backend
+    march_based: bool = False  # intersection cost scales with ray length
 
 
 def _analytical_meta(scene: Scene) -> tuple:
@@ -914,7 +930,23 @@ def _tile_bounce(sc, backend: KernelBackend, carry, u6, quirks: Quirks,
     if has_media:
         med_type, med_density, med_color, med_aniso = carry[8:]
 
-    t, normal, material = backend.closest_hit(sc, ro, rd)
+    if backend.march_based:
+        # Dead-lane probe rays: every output a dead lane produces below is
+        # masked by `alive`, so its closest_hit result is never observed —
+        # but for march-based backends (SDF) the tile's block-granular
+        # early exit still waits on EVERY lane's march. Pointing dead
+        # lanes from far above the scene straight up makes them escape in
+        # one march block instead of re-tracing their stale full-distance
+        # ray every remaining bounce (at depth 4, 46% of lane-bounces are
+        # dead — measured by measure_occupancy_pallas). Bit-identical for
+        # alive lanes; no RNG draws are involved. Closed-form backends
+        # skip this (the where-selects cost more than they save there).
+        one = jnp.ones(jnp.shape(rd.x), jnp.float32)
+        probe_ro = where3(alive, ro, V3(0.0 * one, 1.0e3 * one, 0.0 * one))
+        probe_rd = where3(alive, rd, V3(0.0 * one, one, 0.0 * one))
+        t, normal, material = backend.closest_hit(sc, probe_ro, probe_rd)
+    else:
+        t, normal, material = backend.closest_hit(sc, ro, rd)
     if procedural is not None:
         # Post-hit procedural material hook (Scene.procedural_fn — the
         # realization of the reference's dormant rhai scripting surface,
@@ -970,7 +1002,7 @@ def _tile_bounce(sc, backend: KernelBackend, carry, u6, quirks: Quirks,
         throughput = where3(scat, throughput * med_color, throughput)
         ld_s = _scatter_direct_light(
             sc, backend.any_hit, rd, scatter_pos, med_aniso, u6[0:3],
-            detach=detach,
+            detach=detach, active=scat,
         )
         radiance = radiance + _mask3(scat, ld_s * throughput)
         l_hg = sample_hg(rd, med_aniso, u6[3], u6[4])
@@ -1012,7 +1044,7 @@ def _tile_bounce(sc, backend: KernelBackend, carry, u6, quirks: Quirks,
 
     ld = _direct_light(
         sc, backend.any_hit, rd, fhp, ffnormal, material, eta, u6[0:3],
-        detach=detach,
+        detach=detach, active=shade,
     )
     radiance = radiance + _mask3(shade, ld * throughput)
 

@@ -487,6 +487,7 @@ SDF_BACKEND = KernelBackend(
     any_hit=_any_hit_sdf,
     background=_background_sdf,
     matches=_sdf_matches,
+    march_based=True,
 )
 
 register_backend(SDF_BACKEND)
