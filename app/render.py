@@ -81,7 +81,7 @@ def make_renderer(cfg: RenderConfig, scene: pt.Scene, quirks):
             return lambda s, k: render_frame_sharded_pallas(
                 s, k, mesh, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks,
                 tile_rows=cfg.tile_rows, uniforms=cfg.rng,
-                interpret=interpret,
+                interpret=interpret, tiling=cfg.tiling,
             )
         return lambda s, k: render_frame_sharded(
             s, k, mesh, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks,
@@ -93,6 +93,7 @@ def make_renderer(cfg: RenderConfig, scene: pt.Scene, quirks):
         return lambda s, k: render_frame_pallas(
             s, k, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks,
             tile_rows=cfg.tile_rows, uniforms=cfg.rng, interpret=interpret,
+            tiling=cfg.tiling,
         )
     return lambda s, k: pt.render_frame(
         s, k, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks,
@@ -119,6 +120,12 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--kernel", choices=["xla", "pallas"], default="xla",
         help="integrator: lax.scan XLA path or the fused Pallas megakernel",
+    )
+    ap.add_argument(
+        "--tiling", choices=["auto", "flat", "block", "square"],
+        default="auto",
+        help="megakernel tile layout: auto picks compact 2-D pixel blocks "
+        "at spp=1 (fastest measured), flat ray ranges otherwise",
     )
     ap.add_argument(
         "--tile-rows", type=int, default=16,
@@ -176,6 +183,7 @@ def main(argv=None) -> int:
         quirks=args.quirks,
         kernel=args.kernel,
         tile_rows=args.tile_rows,
+        tiling=args.tiling,
         rng=args.rng,
         mesh_tiles=mesh_tiles,
         mesh_spp=mesh_spp,

@@ -31,6 +31,7 @@ class RenderConfig:
     # Execution
     kernel: str = "xla"  # "xla" (lax.scan integrator) | "pallas" (megakernel)
     tile_rows: int = 16  # megakernel tile height (rays per tile = 128*rows)
+    tiling: str = "auto"  # megakernel tile layout: auto | flat | block | square
     rng: str = "inkernel"  # megakernel uniforms: "inkernel" | "hbm"
     mesh_tiles: int = 1  # device-mesh tile axis (>1 = sharded render)
     mesh_spp: int = 1  # device-mesh sample axis (XLA kernel only)
