@@ -835,23 +835,38 @@ def _raygen(sc, shape, lane_base, spp, width, height, ox, oy):
     return ro, rd
 
 
-def _tile_geometry(tiling: str, tile_rows: int):
-    """(block_w, block_h) pixel rectangle covered by one (tile_rows, LANES)
-    tile, or None for flat ray-range tiling. "block" = LANES-wide strips
-    (tile_rows high); "square" folds each 128-lane row onto 2 pixel rows of
-    64 — a squarer region with a smaller diameter, which tightens the SDF
-    march envelope further than the 4:1 "block" rectangle."""
+def _tile_geometry(tiling: str, tile_rows: int, spp: int = 1):
+    """Pixel geometry of one (tile_rows, LANES) tile under 2-D tiling, or
+    None for flat ray-range tiling: (bw, bh, sub) where the tile covers a
+    compact (bh x bw) PIXEL rectangle, each lane row folding `sub` pixel
+    rows, with a pixel's spp samples in adjacent lanes
+    (bw * sub * spp == LANES).
+
+    "block" = (LANES/spp)-wide strips, tile_rows high (sub=1); "square"
+    (spp == 1 only) folds each 128-lane row onto 2 pixel rows of 64 — a
+    squarer region with a smaller diameter, which tightens the SDF march
+    envelope further than the 4:1 "block" rectangle (measured a wash; see
+    BASELINE.md)."""
     if tiling == "flat":
         return None
-    bw = LANES if tiling == "block" else 64
-    return bw, tile_rows * (LANES // bw)
+    if tiling == "square":
+        if spp != 1:
+            raise ValueError("tiling='square' requires spp == 1")
+        return 64, tile_rows * 2, 2
+    if LANES % spp != 0:
+        raise ValueError(
+            f"tiling='block' requires spp to divide {LANES}, got {spp}"
+        )
+    return LANES // spp, tile_rows, 1
 
 
-def _raygen_block(sc, shape, global_tile, width, height, ox, oy, bw=LANES):
+def _raygen_block(sc, shape, global_tile, width, height, ox, oy, bw=LANES,
+                  sub=1, spp=1):
     """Camera ray generation for 2-D pixel-block tiling: tile `global_tile`
     covers a compact (bh x bw) pixel rectangle at block coords
-    (by, bx) = divmod(tile, cdiv(width, bw)), where each lane row holds
-    LANES/bw consecutive pixel rows of width bw.
+    (by, bx) = divmod(tile, cdiv(width, bw)), where each lane row folds
+    `sub` pixel rows of width bw and a pixel's spp samples sit in adjacent
+    lanes: col = (subrow * bw + pxcol) * spp + sample.
 
     Spatial coherence is the point: a flat (tile_rows*LANES)-ray range at
     1080p spans 2+ full scanlines, so the SDF march's block-granular early
@@ -861,15 +876,16 @@ def _raygen_block(sc, shape, global_tile, width, height, ox, oy, bw=LANES):
     host-side assembly; in-kernel RNG consumption is per-tile and identical
     for every lane, so clamping costs nothing)."""
     tile_rows = shape[0]
-    sub = LANES // bw  # pixel rows folded into one lane row
     nbx = pl.cdiv(width, bw)
     by = global_tile // nbx
     bx = global_tile - by * nbx
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    px_i = jnp.minimum(bx * bw + col % bw, width - 1)
-    py_i = jnp.minimum(by * (tile_rows * sub) + row * sub + col // bw,
-                       height - 1)
+    px_i = jnp.minimum(bx * bw + (col // spp) % bw, width - 1)
+    py_i = jnp.minimum(
+        by * (tile_rows * sub) + row * sub + col // (bw * spp),
+        height - 1,
+    )
     px = px_i.astype(jnp.float32)
     py = py_i.astype(jnp.float32)
     cx = px * jnp.float32(1.0 / width)
@@ -1279,10 +1295,11 @@ def _make_kernel(
         uniform = _make_uniform_fn(shape, inkernel_rng, u_ref)
         ox, oy, us = _draw_all(uniform, depth, inkernel_rng, has_media)
 
-        geom = _tile_geometry(tiling, tile_rows)
+        geom = _tile_geometry(tiling, tile_rows, spp)
         if geom is not None:
             ro, rd = _raygen_block(
-                sc, shape, global_tile, width, height, ox, oy, bw=geom[0]
+                sc, shape, global_tile, width, height, ox, oy,
+                bw=geom[0], sub=geom[2], spp=spp,
             )
         else:
             lane_base = global_tile * tile
@@ -1367,10 +1384,11 @@ def _make_grad_kernel(
 
         def raygen_p(params):
             sc = backend.view(_TupleRef(params), meta)
-            geom = _tile_geometry(tiling, tile_rows)
+            geom = _tile_geometry(tiling, tile_rows, spp)
             if geom is not None:
                 return _raygen_block(
-                    sc, shape, global_tile, width, height, ox, oy, bw=geom[0]
+                    sc, shape, global_tile, width, height, ox, oy,
+                    bw=geom[0], sub=geom[2], spp=spp,
                 )
             return _raygen(sc, shape, lane_base, spp, width, height, ox, oy)
 
@@ -1499,16 +1517,39 @@ def _make_grad_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _uniform_rows(key, n: int, n_pad: int, depth: int):
+def _uniform_rows(key, n: int, n_pad: int, depth: int, spp: int = 1):
     """Threefry uniforms in the row layout the kernel consumes in draw
-    order: [ox, oy, bounce0 u0..u6, ...] — matches the XLA path's slicing
-    of draw_uniforms output exactly."""
-    cam_u, bounce_u = draw_uniforms(key, n, depth, jnp.float32)
-    rows = [cam_u[:, 0], cam_u[:, 1]]
+    order: [ox, oy, bounce0 u0..u6, ...] — matches the XLA path's layout
+    exactly. At spp > 1 the XLA integrator (tracer.render_frame) splits
+    the key into spp subkeys and draws a PER-SAMPLE stream over the w*h
+    pixels (lax.map over one_sample); ray r = pid*spp + s therefore takes
+    sample s's stream at pixel index pid, and this builds the same
+    interleaving so spp parity is strict, not just in expectation."""
+    if spp == 1:
+        cam_u, bounce_u = draw_uniforms(key, n, depth, jnp.float32)
+        rows = [cam_u[:, 0], cam_u[:, 1]]
+        for d in range(depth):
+            for j in range(U_PER_BOUNCE):
+                rows.append(bounce_u[d, :, j])
+        u_all = jnp.stack(rows)  # [U, n]
+        return jnp.pad(u_all, ((0, 0), (0, n_pad - n)), constant_values=0.5)
+
+    npix = n // spp
+    draws = [
+        draw_uniforms(k, npix, depth, jnp.float32)
+        for k in jax.random.split(key, spp)
+    ]
+
+    def interleave(per_sample):  # spp arrays of [npix] -> [npix*spp]
+        return jnp.stack(per_sample, axis=1).reshape(-1)
+
+    rows = [
+        interleave([cam_u[:, j] for cam_u, _ in draws]) for j in (0, 1)
+    ]
     for d in range(depth):
         for j in range(U_PER_BOUNCE):
-            rows.append(bounce_u[d, :, j])
-    u_all = jnp.stack(rows)  # [U, n]
+            rows.append(interleave([bu[d, :, j] for _, bu in draws]))
+    u_all = jnp.stack(rows)
     return jnp.pad(u_all, ((0, 0), (0, n_pad - n)), constant_values=0.5)
 
 
@@ -1640,7 +1681,7 @@ def measure_occupancy_pallas(
     depth = scene.recursion_depth
     n = width * height * spp
     tile = tile_rows * LANES
-    geom = _tile_geometry(tiling, tile_rows)
+    geom = _tile_geometry(tiling, tile_rows, spp)
     if geom is not None:
         num_tiles = pl.cdiv(width, geom[0]) * pl.cdiv(height, geom[1])
     else:
@@ -1651,11 +1692,11 @@ def measure_occupancy_pallas(
     sv = backend.pack(scene, width, height, has_media)
     if uniforms == "hbm":
         if geom is not None:
-            u_flat = _uniform_rows(key, n, n, depth)
+            u_flat = _uniform_rows(key, n, n, depth, spp)
             u_all = u_flat[:, _block_lane_to_flat(width, height, tile_rows,
-                                                  geom[0])]
+                                                  geom[0], geom[2], spp)]
         else:
-            u_all = _uniform_rows(key, n, num_tiles * tile, depth)
+            u_all = _uniform_rows(key, n, num_tiles * tile, depth, spp)
         seed = jnp.zeros((1, 1), jnp.int32)
     else:
         seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
@@ -1842,11 +1883,11 @@ def render_frame_pallas(
     - "hbm": threefry uniforms identical to the XLA integrator's, for
       allclose validation against it.
 
-    tiling="auto" (default) picks compact 2-D pixel-block tiles when
-    spp == 1 (see resolve_tiling) — image parity with the XLA integrator
-    is tiling-invariant under "hbm" uniforms (per-pixel streams); the
-    in-kernel RNG stream assignment differs between tilings (both are
-    valid samplers).
+    tiling="auto" (default) picks compact 2-D pixel-block tiles whenever
+    spp divides the lane width (see resolve_tiling) — image parity with
+    the XLA integrator is tiling-invariant under "hbm" uniforms (per-ray
+    streams); the in-kernel RNG stream assignment differs between tilings
+    (both are valid samplers).
 
     media: compile the volumetric-media path (Absorb / Emissive / HG
     Scatter, mirroring the XLA integrator) into the kernel. None (default)
@@ -1867,12 +1908,13 @@ def render_frame_pallas(
 
 
 def resolve_tiling(tiling: str, spp: int) -> str:
-    """"auto" -> compact 2-D pixel blocks when spp == 1 (measured +49% on
+    """"auto" -> compact 2-D pixel blocks whenever spp divides the 128
+    lanes (a pixel's spp samples sit in adjacent lanes; measured +49% on
     the SDF kernel, +39% analytical, at 1080p tile_rows=32 — spatial
-    coherence tightens the per-tile march envelope), else flat ray ranges
-    (block raygen has no sample-interleaving layout)."""
+    coherence tightens the per-tile march envelope), else flat ray
+    ranges."""
     if tiling == "auto":
-        return "block" if spp == 1 else "flat"
+        return "block" if LANES % spp == 0 else "flat"
     if tiling not in ("flat", "block", "square"):
         raise ValueError(
             f"tiling must be 'auto'|'flat'|'block'|'square', got {tiling!r}"
@@ -1930,15 +1972,14 @@ def _render_frame_pallas(
     )
     n = width * height * spp
 
-    geom = _tile_geometry(tiling, tile_rows)
+    geom = _tile_geometry(tiling, tile_rows, spp)
     if geom is not None:
-        bw, bh = geom
-        sub = LANES // bw
+        bw, bh, sub = geom
         nbx = pl.cdiv(width, bw)
         nby = pl.cdiv(height, bh)
 
         def finish(c):
-            c = c.reshape(nby, nbx, tile_rows, sub, bw)
+            c = c.reshape(nby, nbx, tile_rows, sub, bw, spp).mean(axis=-1)
             c = c.transpose(0, 2, 3, 1, 4).reshape(nby * bh, nbx * bw)
             return c[:height, :width]
     else:
@@ -1985,10 +2026,8 @@ def _render_tiles_pallas(
     depth = scene.recursion_depth
     n = width * height * spp
     tile = tile_rows * LANES
-    geom = _tile_geometry(tiling, tile_rows)
+    geom = _tile_geometry(tiling, tile_rows, spp)
     if geom is not None:
-        if spp != 1:
-            raise ValueError(f"tiling={tiling!r} requires spp == 1")
         total_tiles = pl.cdiv(width, geom[0]) * pl.cdiv(height, geom[1])
     else:
         total_tiles = pl.cdiv(n, tile)
@@ -2004,11 +2043,11 @@ def _render_tiles_pallas(
 
     if uniforms == "hbm":
         if geom is not None:
-            u_flat = _uniform_rows(key, n, n, depth)
+            u_flat = _uniform_rows(key, n, n, depth, spp)
             u_all = u_flat[:, _block_lane_to_flat(width, height, tile_rows,
-                                                  geom[0])]
+                                                  geom[0], geom[2], spp)]
         else:
-            u_all = _uniform_rows(key, n, n_pad, depth)
+            u_all = _uniform_rows(key, n, n_pad, depth, spp)
         if not isinstance(tile_base, int) or tile_base != 0:
             # carve this device's tile range out of the global rows.
             # Pad first: when the device count doesn't divide total_tiles,
@@ -2055,14 +2094,14 @@ def _render_tiles_pallas(
 
 @lru_cache(maxsize=None)
 def _block_lane_to_flat(width: int, height: int, tile_rows: int,
-                        bw: int = LANES) -> _np.ndarray:
+                        bw: int = LANES, sub: int = 1,
+                        spp: int = 1) -> _np.ndarray:
     """Static permutation: kernel-lane order (tile-major, row, col) ->
-    flat pixel index, for hbm uniform rows under 2-D tiling (mirrors
-    _raygen_block's lane->pixel map for the given block width). Edge
-    blocks clamp to the border like _raygen_block (those lanes' outputs
-    are cropped, so the uniform values they see are irrelevant — clamping
-    just keeps every index valid)."""
-    sub = LANES // bw
+    flat RAY index (pixel * spp + sample), for hbm uniform rows under 2-D
+    tiling (mirrors _raygen_block's lane->ray map). Edge blocks clamp to
+    the border like _raygen_block (those lanes' outputs are cropped, so
+    the uniform values they see are irrelevant — clamping just keeps
+    every index valid)."""
     bh = tile_rows * sub
     nbx = -(-width // bw)
     nby = -(-height // bh)
@@ -2072,11 +2111,12 @@ def _block_lane_to_flat(width: int, height: int, tile_rows: int,
     cols = _np.arange(LANES)
     py = _np.minimum(
         by[:, None, None] * bh + rows[None, :, None] * sub
-        + (cols // bw)[None, None, :],
+        + (cols // (bw * spp))[None, None, :],
         height - 1,
     )
     px = _np.minimum(
-        bx[:, None, None] * bw + (cols % bw)[None, None, :],
+        bx[:, None, None] * bw + ((cols // spp) % bw)[None, None, :],
         width - 1,
     )
-    return (py * width + px).reshape(-1)
+    sample = (cols % spp)[None, None, :]
+    return ((py * width + px) * spp + sample).reshape(-1)

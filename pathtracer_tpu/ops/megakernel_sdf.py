@@ -441,7 +441,7 @@ def measure_march_steps(
         half = jnp.full(shape, 0.5, jnp.float32)
         if geom is not None:
             ro, rd = _raygen_block(sc, shape, tile_id, width, height, half,
-                                   half, bw=geom[0])
+                                   half, bw=geom[0], sub=geom[2])
         else:
             ro, rd = _raygen(sc, shape, tile_id * tile, 1, width, height,
                              half, half)

@@ -231,7 +231,7 @@ def _render_frame_sharded_pallas_jit(
     tile = tile_rows * LANES
     from ..ops.megakernel import _tile_geometry
 
-    geom = _tile_geometry(tiling, tile_rows)
+    geom = _tile_geometry(tiling, tile_rows, spp)
     if geom is not None:
         nbx, nby = -(-width // geom[0]), -(-height // geom[1])
         total_tiles = nbx * nby
@@ -257,15 +257,14 @@ def _render_frame_sharded_pallas_jit(
     )(scene, key)
 
     if geom is not None:
-        bw, bh = geom
-        sub = LANES // bw
+        bw, bh, sub = geom
 
         # ndev * local_tiles may exceed total_tiles: surplus tiles rendered
         # border-clamped duplicates; drop them before block reassembly.
         def finish(c):
             c = c[: total_tiles * tile_rows].reshape(
-                nby, nbx, tile_rows, sub, bw
-            )
+                nby, nbx, tile_rows, sub, bw, spp
+            ).mean(axis=-1)
             c = c.transpose(0, 2, 3, 1, 4).reshape(nby * bh, nbx * bw)
             return c[:height, :width]
     else:
