@@ -33,10 +33,15 @@ def main(argv=None) -> int:
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--kernel", choices=("pallas", "xla"), default="pallas")
     ap.add_argument(
+        "--scene", choices=("analytical", "sdf"), default="analytical",
+        help="analytical: recover albedo/roughness/emission; sdf: recover "
+        "GEOMETRY (sphere radius, torus major) via implicit-function grads",
+    )
+    ap.add_argument(
         "--mesh", default=None,
         help="TILESxSPP device mesh for the sharded megakernel, e.g. 4x2",
     )
-    ap.add_argument("--tile-rows", type=int, default=8)
+    ap.add_argument("--tile-rows", type=int, default=16)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
@@ -65,6 +70,7 @@ def main(argv=None) -> int:
 
     report = recover_demo(
         key=jax.random.PRNGKey(args.seed),
+        scene=args.scene,
         width=args.width,
         height=args.height,
         steps=args.steps,

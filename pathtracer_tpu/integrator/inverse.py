@@ -240,9 +240,8 @@ def recover_demo(
     steps: int = 80,
     spp: int = 1,
     lr: float = 3e-2,
-    select: Iterable[str] = (
-        "materials.rgb", "materials.roughness", "lights.emission",
-    ),
+    select: Iterable[str] | None = None,
+    scene: str = "analytical",
     kernel: str = "pallas",
     mesh=None,
     tile_rows: int = 16,
@@ -258,6 +257,13 @@ def recover_demo(
     (materials as data, /root/reference/rust-pathtracer/src/material.rs:77;
     its tracer never invokes the hook, and Rust code could not be
     differentiated if it did).
+
+    scene="analytical" recovers material albedo/roughness + light
+    emission; scene="sdf" recovers GEOMETRY — sphere radius and torus
+    major radius of the sphere-traced SDF scene — through the
+    implicit-function hit-distance gradients (models/sdf.sphere_trace's
+    Newton reattachment; in-kernel twin in ops/megakernel_sdf), plus the
+    light. `select=None` picks the per-family default.
 
     Pipeline: render the target with the TRUE parameters, perturb the
     selected leaves, then Adam-descend the common-random-number paired
@@ -303,9 +309,24 @@ def recover_demo(
     # the hbm threefry rows are the validated CPU twin of the same stream.
     uniforms = "hbm" if interpret else "inkernel"
 
-    true_scene = make_analytical_scene(
-        dtype=jnp.float32, recursion_depth=recursion_depth
-    )
+    if scene == "sdf":
+        from ..models.sdf import make_scene as make_sdf_scene
+
+        true_scene = make_sdf_scene(
+            dtype=jnp.float32, recursion_depth=recursion_depth
+        )
+        if select is None:
+            select = (
+                "sphere_radius", "torus_major", "lights.emission",
+            )
+    else:
+        true_scene = make_analytical_scene(
+            dtype=jnp.float32, recursion_depth=recursion_depth
+        )
+        if select is None:
+            select = (
+                "materials.rgb", "materials.roughness", "lights.emission",
+            )
 
     def make_render(kind):
         if kind == "pallas" and mesh is not None:
@@ -334,19 +355,43 @@ def recover_demo(
     target = sum(render(true_scene, k) for k in tkeys) / 4.0
     target = jax.lax.stop_gradient(target)
 
-    # Perturbed start: albedo shifted, roughness flattened, light dimmed.
-    m = true_scene.params.materials
-    start_scene = true_scene.replace(
-        params=true_scene.params._replace(
-            materials=m._replace(
-                rgb=m.rgb * 0.55 + 0.25,
-                roughness=jnp.clip(m.roughness * 0.3 + 0.35, 0.001, 1.0),
-            )
-        ),
-        lights=true_scene.lights._replace(
-            emission=true_scene.lights.emission * 0.45
-        ),
-    )
+    if scene == "sdf":
+        # Perturbed start: geometry shrunk/grown, light dimmed.
+        p0 = true_scene.params
+        start_scene = true_scene.replace(
+            params=p0._replace(
+                sphere_radius=p0.sphere_radius * 0.75,
+                torus_major=p0.torus_major * 1.25,
+            ),
+            lights=true_scene.lights._replace(
+                emission=true_scene.lights.emission * 0.45
+            ),
+        )
+
+        def projection(s_):
+            p_ = s_.params
+            s_ = s_.replace(params=p_._replace(
+                sphere_radius=jnp.maximum(p_.sphere_radius, 0.05),
+                torus_major=jnp.maximum(p_.torus_major, 0.05),
+            ))
+            return s_.replace(lights=s_.lights._replace(
+                emission=s_.lights.emission.max_f(0.0)
+            ))
+    else:
+        # Perturbed start: albedo shifted, roughness flattened, light dimmed.
+        m = true_scene.params.materials
+        start_scene = true_scene.replace(
+            params=true_scene.params._replace(
+                materials=m._replace(
+                    rgb=m.rgb * 0.55 + 0.25,
+                    roughness=jnp.clip(m.roughness * 0.3 + 0.35, 0.001, 1.0),
+                )
+            ),
+            lights=true_scene.lights._replace(
+                emission=true_scene.lights.emission * 0.45
+            ),
+        )
+        projection = clamp_material_params
 
     train, rebuild, names = select_leaves(start_scene, select)
     true_train, _, _ = select_leaves(true_scene, select)
@@ -357,7 +402,7 @@ def recover_demo(
     @jax.jit
     def step_fn(train, opt_state, k):
         def loss_fn(tv):
-            s = clamp_material_params(rebuild(tv))
+            s = projection(rebuild(tv))
             ka, kb = jax.random.split(k)
             return paired_image_loss(render(s, ka), render(s, kb), target)
 
@@ -393,7 +438,7 @@ def recover_demo(
                 (train, opt_state, jnp.asarray(i + 1, jnp.int32)),
             )
 
-    final_scene = clamp_material_params(rebuild(train))
+    final_scene = projection(rebuild(train))
     final_train, _, _ = select_leaves(final_scene, select)
 
     import numpy as _np

@@ -58,3 +58,17 @@ def test_recover_demo_xla_moves_toward_target():
     for r in report.rows:
         # started at 0.45x true; must have moved strictly toward true
         assert abs(r.recovered - r.true_value) < abs(r.start_value - r.true_value)
+
+
+def test_recover_demo_sdf_geometry_moves_toward_target():
+    """scene='sdf': geometry recovery through the implicit-function
+    hit-distance gradients — the shrunk sphere radius must move back
+    toward the true value."""
+    report = recover_demo(
+        key=jax.random.PRNGKey(5),
+        width=32, height=16, steps=6, lr=4e-2,
+        kernel="xla", scene="sdf", select=("sphere_radius",),
+        recursion_depth=2, verbose=False,
+    )
+    for r in report.rows:
+        assert abs(r.recovered - r.true_value) < abs(r.start_value - r.true_value)
