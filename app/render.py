@@ -211,10 +211,14 @@ def main(argv=None) -> int:
             # the masking economics actually bind (round-3 VERDICT weak #5).
             from pathtracer_tpu.ops.megakernel import measure_occupancy_pallas
 
+            interpret = jax.devices()[0].platform == "cpu"
+            # The TPU core PRNG has no interpret lowering: force hbm
+            # uniforms on CPU hosts (mirrors recover_demo's selection).
+            uniforms = "hbm" if interpret else cfg.rng
             stats = measure_occupancy_pallas(
                 scene, key, cfg.width, cfg.height, spp=cfg.spp, quirks=quirks,
-                tile_rows=cfg.tile_rows, uniforms=cfg.rng,
-                interpret=jax.devices()[0].platform == "cpu",
+                tile_rows=cfg.tile_rows, uniforms=uniforms,
+                interpret=interpret,
             )
             occ = [float(x) for x in stats["alive_fraction"]]
             print(

@@ -39,47 +39,65 @@ WIDTH, HEIGHT, SPP = 1920, 1080, 1
 BASELINE = 1e8  # BASELINE.md: >= 1e8 rays/s/chip at 1080p
 
 
-def _measure(frame, depth, frames, warmup, windows=3):
-    """Chained-accumulator timing: acc -> sum -> host float stops the clock.
+def _measure(frame, depth, frames, warmup, windows=4, max_windows=10):
+    """Device-chained timing: ONE dispatch per window, not one per frame.
 
-    Best of `windows` timing windows: dispatch through the tunneled axon
-    backend has erratic slow phases (up to 2x, worst right after process
-    start), so a single window under-reports sustained throughput; the
-    best window is the reproducible hardware-rate estimate (each window is
-    still `frames` chained executions, far beyond any single-kernel
-    fluctuation)."""
-    acc = frame(jax.random.PRNGKey(0))
-    wkeys = jax.random.split(jax.random.PRNGKey(1), warmup)
-    for i in range(warmup):
-        acc = acc + frame(wkeys[i])
+    The whole `frames`-frame chain runs inside a single jitted
+    `lax.fori_loop` (key folded in-device), so host->device dispatch
+    through the tunneled axon backend is entirely off the critical path —
+    a window's wall time is `frames` back-to-back kernel executions plus
+    one dispatch + one scalar readback. This is what the reference left
+    commented out (/root/reference/renderer/src/main.rs:117-120), made
+    robust against host/tunnel state.
+
+    Slow-phase defense: take at least `windows` windows; if the median
+    disagrees with the best by >15% keep sampling (up to `max_windows`).
+    All window times are returned for the JSON record so the capture is
+    auditable."""
+
+    def chain(acc, key):
+        def body(i, a):
+            return a + frame(jax.random.fold_in(key, i))
+        return jax.lax.fori_loop(0, frames, body, acc)
+
+    chain_j = jax.jit(chain)
+    acc = frame(jax.random.PRNGKey(0))  # shape/dtype seed for the carry
+    acc = chain_j(acc, jax.random.PRNGKey(1))  # compile + warm (full window)
+    for i in range(max(0, warmup // frames)):
+        acc = acc + frame(jax.random.fold_in(jax.random.PRNGKey(1), 1000 + i))
     float(jnp.sum(acc))
 
-    best = float("inf")
-    for w in range(windows):
-        keys = jax.random.split(jax.random.PRNGKey(2 + w), frames)
+    times = []
+    w = 0
+    while True:
+        key = jax.random.PRNGKey(2 + w)
         t0 = time.perf_counter()
-        for i in range(frames):
-            acc = acc + frame(keys[i])
-        checksum = float(jnp.sum(acc))
+        acc = chain_j(acc, key)
+        checksum = float(jnp.sum(acc))  # host readback stops the clock
         dt = time.perf_counter() - t0
         assert jnp.isfinite(checksum), f"non-finite checksum {checksum}"
-        best = min(best, dt)
-    return WIDTH * HEIGHT * SPP * depth * frames / best
+        times.append(dt)
+        w += 1
+        if w >= windows:
+            ts = sorted(times)
+            med = ts[len(ts) // 2]
+            if med / ts[0] <= 1.15 or w >= max_windows:
+                break
+    best = min(times)
+    return WIDTH * HEIGHT * SPP * depth * frames / best, times
 
 
-def _emit(metric, value, **extra):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": value,
-                "unit": "rays/s/chip",
-                "vs_baseline": value / BASELINE,
-                **extra,
-            }
-        ),
-        flush=True,
-    )
+def _emit(metric, value, times=None, **extra):
+    rec = {
+        "metric": metric,
+        "value": value,
+        "unit": "rays/s/chip",
+        "vs_baseline": value / BASELINE,
+        **extra,
+    }
+    if times is not None:
+        rec["window_s"] = [round(t, 4) for t in times]
+    print(json.dumps(rec), flush=True)
 
 
 def bench_forward(on_tpu):
@@ -100,12 +118,12 @@ def bench_forward(on_tpu):
             )
         return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
 
-    value = _measure(
+    value, times = _measure(
         frame, depth,
-        frames=60 if on_tpu else 3, warmup=24 if on_tpu else 1,
-        windows=3 if on_tpu else 1,
+        frames=90 if on_tpu else 3, warmup=0,
+        windows=4 if on_tpu else 1,
     )
-    _emit("fwd_rays_per_s_1080p_depth4", value)
+    _emit("fwd_rays_per_s_1080p_depth4", value, times)
 
 
 def bench_forward_backward(on_tpu):
@@ -118,7 +136,7 @@ def bench_forward_backward(on_tpu):
 
     tile_rows = int(os.environ.get("BWD_TILE_ROWS", "16"))
     depth = int(os.environ.get("BWD_DEPTH", "4"))
-    frames = 20
+    frames = 30
     scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=depth)
 
     def loss_fn(emission, rgb, key):
@@ -146,9 +164,9 @@ def bench_forward_backward(on_tpu):
         g_em, g_rgb = grad_fn(em, rgb, k)
         return jnp.sum(g_em.x) + jnp.sum(g_rgb.x)
 
-    value = _measure(frame, depth, frames=frames, warmup=8)
+    value, times = _measure(frame, depth, frames=frames, warmup=0)
     _emit(
-        "fwd_bwd_rays_per_s_1080p_depth4", value,
+        "fwd_bwd_rays_per_s_1080p_depth4", value, times,
         path="pallas_custom_vjp" if on_tpu else "xla_remat",
         tile_rows=tile_rows, depth=depth,
     )
@@ -176,8 +194,8 @@ def bench_sdf(on_tpu):
             )
         return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
 
-    value = _measure(frame, depth, frames=40, warmup=12)
-    _emit("sdf_fwd_rays_per_s_1080p_depth4", value)
+    value, times = _measure(frame, depth, frames=30, warmup=0)
+    _emit("sdf_fwd_rays_per_s_1080p_depth4", value, times)
 
 
 def bench_media(on_tpu):
@@ -221,8 +239,8 @@ def bench_media(on_tpu):
             )
         return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
 
-    value = _measure(frame, depth, frames=40, warmup=12)
-    _emit("media_fwd_rays_per_s_1080p_depth6", value)
+    value, times = _measure(frame, depth, frames=40, warmup=0)
+    _emit("media_fwd_rays_per_s_1080p_depth6", value, times)
 
 
 def bench_mesh(on_tpu):
@@ -243,8 +261,8 @@ def bench_mesh(on_tpu):
             )
         return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
 
-    value = _measure(frame, depth, frames=60, warmup=12)
-    _emit("mesh_fwd_rays_per_s_1080p_depth4", value)
+    value, times = _measure(frame, depth, frames=60, warmup=0)
+    _emit("mesh_fwd_rays_per_s_1080p_depth4", value, times)
 
 
 def main() -> int:

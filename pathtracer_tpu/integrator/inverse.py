@@ -422,10 +422,16 @@ def recover_demo(
             if verbose:
                 print(f"resumed from {path} at step {start_step}")
 
-    kstep = jax.random.fold_in(key, 29)  # CRN: one fixed key pair per run
+    # CRN pairing requires the same key WITHIN a step (target and render
+    # share it), not across steps: fold the step index in so Adam sees a
+    # fresh Monte-Carlo realization each step (unbiased over the run) while
+    # checkpoint/resume stays deterministic via the step counter.
+    kbase = jax.random.fold_in(key, 29)
     losses = []
     for i in range(start_step, steps):
-        train, opt_state, loss = step_fn(train, opt_state, kstep)
+        train, opt_state, loss = step_fn(
+            train, opt_state, jax.random.fold_in(kbase, i)
+        )
         losses.append(loss)
         if verbose and (i % 10 == 0 or i == steps - 1):
             print(f"step {i:4d}  loss {float(loss):.6e}")

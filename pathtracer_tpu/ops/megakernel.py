@@ -2018,10 +2018,12 @@ def _render_tiles_pallas(
     own range so per-tile RNG streams and pixel assignment stay globally
     identical to the single-device launch.
 
-    tiling="block" maps each tile to a compact (tile_rows x LANES) pixel
-    rectangle instead of a flat ray range (spp must be 1); hbm uniform rows
-    are permuted into kernel-lane order on the host so the kernel still
-    consumes the XLA integrator's exact per-pixel threefry stream."""
+    tiling="block" maps each tile to a compact pixel rectangle instead of
+    a flat ray range; with spp>1 each pixel's spp samples sit in adjacent
+    lanes (spp-interleaved block layout, spp must divide LANES). hbm
+    uniform rows are permuted into kernel-lane order on the host so the
+    kernel still consumes the XLA integrator's exact per-sample threefry
+    streams."""
     backend = _BACKENDS[backend_name]
     depth = scene.recursion_depth
     n = width * height * spp
