@@ -265,6 +265,35 @@ def bench_mesh(on_tpu):
     _emit("mesh_fwd_rays_per_s_1080p_depth4", value, times)
 
 
+def bench_mesh1k(on_tpu):
+    """Kilo-triangle mesh scene (1090 triangles: tessellated UV sphere +
+    ground) through the bigmesh backend: coefficient-table Möller-Trumbore
+    streamed 128 triangles/chunk as [CHUNK,1]x[1,R] broadcast FMAs with
+    AABB-cond chunk culling (models/bigmesh.py). Every ray is tested
+    against the full table modulo culling — this is the backend seam the
+    reference's trait Scene was built to carry (scene.rs:5-27), two orders
+    of magnitude past its actual content."""
+    import pathtracer_tpu as pt
+    from pathtracer_tpu.models.bigmesh import make_scene as make_bigmesh_scene
+    from pathtracer_tpu.ops.megakernel import render_frame_pallas
+    import pathtracer_tpu.ops.megakernel_bigmesh  # noqa: F401  (registers)
+
+    depth = 4
+    scene = make_bigmesh_scene(dtype=jnp.float32, recursion_depth=depth)
+
+    def frame(k):
+        if on_tpu:
+            return render_frame_pallas(
+                scene, k, WIDTH, HEIGHT, spp=SPP, uniforms="inkernel",
+                tile_rows=8,
+            )
+        return pt.render_frame(scene, k, WIDTH, HEIGHT, spp=SPP)
+
+    value, times = _measure(frame, depth, frames=10, warmup=0)
+    _emit("mesh1k_fwd_rays_per_s_1080p_depth4", value, times,
+          triangles=scene.params.num_tris)
+
+
 def main() -> int:
     on_tpu = jax.devices()[0].platform != "cpu"
     only = os.environ.get("BENCH_ONLY", "")
@@ -280,6 +309,7 @@ def main() -> int:
         ("sdf", bench_sdf),
         ("media", bench_media),
         ("mesh", bench_mesh),
+        ("mesh1k", bench_mesh1k),
     ):
         if only and name not in only.split(","):
             continue

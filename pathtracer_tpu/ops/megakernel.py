@@ -718,6 +718,16 @@ class KernelBackend(NamedTuple):
     matches: Callable | None = None  # (scene) -> bool: claim this Scene
     specialize: Callable | None = None  # (scene, backend) -> backend
     march_based: bool = False  # intersection cost scales with ray length
+    # Large-table backends (ops/megakernel_bigmesh.py) ship per-scene
+    # arrays too big for the packed SMEM scalar vector: `extra_of(scene)`
+    # returns a tuple of f32 arrays handed to the kernel as whole-array
+    # refs (one per entry of `extra_spaces`, "vmem" | "smem"); `view`
+    # then receives them as a third argument. Backends with extras are
+    # FORWARD-ONLY on the Pallas path (the replay-VJP backward kernel
+    # carries packed params as scalars; use the XLA path for gradients).
+    extra_of: Callable | None = None  # (scene) -> tuple of arrays
+    extra_spaces: tuple = ()  # "vmem" | "smem" per extra
+    fwd_vmem_limit_mb: int | None = None  # raise the scoped-VMEM cap
 
 
 def _analytical_meta(scene: Scene) -> tuple:
@@ -778,7 +788,7 @@ def register_backend(backend: KernelBackend) -> None:
 def _resolve_backend(scene: Scene) -> KernelBackend:
     """Pick the kernel backend whose `matches` claims this Scene."""
     try:
-        from . import megakernel_mesh, megakernel_sdf  # noqa: F401  (register "sdf"/"mesh")
+        from . import megakernel_bigmesh, megakernel_mesh, megakernel_sdf  # noqa: F401  (register "sdf"/"mesh"/"bigmesh")
     except ImportError:
         pass
     for b in _BACKENDS.values():
@@ -1276,17 +1286,24 @@ def _make_kernel(
     interpret: bool = False,
     tiling: str = "flat",
     instrument: bool = False,
+    n_extra: int = 0,
 ):
     """Forward kernel body: raygen + fused path loop + radiance writeback.
 
     instrument=True appends an i32 SMEM output row with per-bounce
-    alive-lane counts (occ_ref[0, b] = lanes alive entering bounce b)."""
+    alive-lane counts (occ_ref[0, b] = lanes alive entering bounce b).
+    n_extra whole-array backend refs (KernelBackend.extra_of) arrive
+    between u_ref and the outputs and are handed to backend.view."""
     shape = (tile_rows, LANES)
     tile = tile_rows * LANES
 
-    def body(sp_ref, seed_ref, base_ref, u_ref, r_ref, g_ref, b_ref,
-             *occ_refs):
-        sc = backend.view(sp_ref, meta)
+    def body(sp_ref, seed_ref, base_ref, u_ref, *rest):
+        extra_refs = rest[:n_extra]
+        r_ref, g_ref, b_ref, *occ_refs = rest[n_extra:]
+        if n_extra:
+            sc = backend.view(sp_ref, meta, extra_refs)
+        else:
+            sc = backend.view(sp_ref, meta)
         tile_id = pl.program_id(0)
         global_tile = base_ref[0, 0] + tile_id
 
@@ -1572,14 +1589,28 @@ class _KernelConfig(NamedTuple):
     tiling: str = "flat"  # "flat" ray ranges | "block"/"square" 2-D pixel rectangles
 
 
-def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
+def _extra_specs(backend: KernelBackend, extras):
+    """Whole-array BlockSpecs for KernelBackend.extra_of inputs (every
+    tile sees the full table; the pipeline hoists the copy)."""
+    specs = []
+    for arr, space in zip(extras, backend.extra_spaces):
+        ms = pltpu.SMEM if space == "smem" else pltpu.VMEM
+        nd = arr.ndim
+        specs.append(pl.BlockSpec(
+            arr.shape, lambda i, _nd=nd: (0,) * _nd, memory_space=ms
+        ))
+    return specs
+
+
+def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all,
+                    extras=()):
     backend = _cfg_backend(cfg)
     tile_rows = cfg.tile_rows
     tile = tile_rows * LANES
     kernel = _make_kernel(
         backend, cfg.meta, cfg.width, cfg.height, cfg.spp, cfg.depth,
         tile_rows, cfg.quirks, cfg.inkernel_rng, cfg.has_media,
-        cfg.procedural, cfg.interpret, cfg.tiling,
+        cfg.procedural, cfg.interpret, cfg.tiling, n_extra=len(extras),
     )
     out_shape = (num_tiles * tile_rows, LANES)
     out_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -1588,6 +1619,7 @@ def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
     else:
         u_rows = 2 + cfg.depth * U_PER_BOUNCE
         u_spec = pl.BlockSpec((u_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    limit = backend.fwd_vmem_limit_mb
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -1596,7 +1628,7 @@ def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             u_spec,
-        ],
+        ] + _extra_specs(backend, extras),
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
@@ -1604,11 +1636,13 @@ def _pallas_forward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all):
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
         ),
         interpret=cfg.interpret,
-    )(sv, seed, base, u_all)
+        compiler_params=None if (cfg.interpret or limit is None)
+        else pltpu.CompilerParams(vmem_limit_bytes=limit * 1024 * 1024),
+    )(sv, seed, base, u_all, *extras)
 
 
 def _pallas_forward_occupancy(cfg: _KernelConfig, num_tiles: int, sv, seed,
-                              base, u_all):
+                              base, u_all, extras=()):
     """Instrumented forward launch: (r, g, b, occ) where occ[t, b] is the
     alive-lane count of tile t entering bounce b."""
     backend = _cfg_backend(cfg)
@@ -1618,6 +1652,7 @@ def _pallas_forward_occupancy(cfg: _KernelConfig, num_tiles: int, sv, seed,
         backend, cfg.meta, cfg.width, cfg.height, cfg.spp, cfg.depth,
         tile_rows, cfg.quirks, cfg.inkernel_rng, cfg.has_media,
         cfg.procedural, cfg.interpret, cfg.tiling, instrument=True,
+        n_extra=len(extras),
     )
     out_shape = (num_tiles * tile_rows, LANES)
     out_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -1634,7 +1669,7 @@ def _pallas_forward_occupancy(cfg: _KernelConfig, num_tiles: int, sv, seed,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             u_spec,
-        ],
+        ] + _extra_specs(backend, extras),
         out_specs=(
             out_spec, out_spec, out_spec,
             pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1646,7 +1681,12 @@ def _pallas_forward_occupancy(cfg: _KernelConfig, num_tiles: int, sv, seed,
             jax.ShapeDtypeStruct((num_tiles * 8, LANES), jnp.int32),
         ),
         interpret=cfg.interpret,
-    )(sv, seed, base, u_all)
+        compiler_params=None if (
+            cfg.interpret or backend.fwd_vmem_limit_mb is None
+        ) else pltpu.CompilerParams(
+            vmem_limit_bytes=backend.fwd_vmem_limit_mb * 1024 * 1024
+        ),
+    )(sv, seed, base, u_all, *extras)
 
 
 def measure_occupancy_pallas(
@@ -1709,8 +1749,9 @@ def measure_occupancy_pallas(
         respect_max_dist=respect, has_media=has_media,
         procedural=scene.procedural_fn, tiling=tiling,
     )
+    extras = backend.extra_of(scene) if backend.extra_of is not None else ()
     r, g, b, occ = _pallas_forward_occupancy(
-        cfg, int(num_tiles), sv, seed, base, u_all
+        cfg, int(num_tiles), sv, seed, base, u_all, extras=extras
     )
     counts = _np.asarray(occ).reshape(int(num_tiles), 8, LANES)[:, 0, :depth]
     # Edge tiles carry border-clamped duplicate lanes (block) or padded
@@ -2091,6 +2132,15 @@ def _render_tiles_pallas(
         procedural=scene.procedural_fn,
         tiling=tiling,
     )
+    if backend.extra_of is not None:
+        # Large-table backends are forward-only on the Pallas path (the
+        # replay-VJP backward kernel carries packed params as SMEM
+        # scalars; table cotangents would need a scatter path). Gradients
+        # for these scenes go through the XLA integrator.
+        extras = backend.extra_of(scene)
+        return _pallas_forward(
+            cfg, int(num_tiles), sv, seed, base, u_all, extras=extras
+        )
     return _diff_render(cfg, int(num_tiles))(sv, seed, base, u_all)
 
 

@@ -1,0 +1,315 @@
+"""Pallas megakernel backend for the large-triangle-mesh scene family.
+
+Puts models/bigmesh.py on the production fast path: ray-triangle
+intersection as [CHUNK, 1] x [1, R] broadcast FMA streams over the
+precomputed coefficient tables (see models/bigmesh.py for the derivation
+and for why this beats an MXU matmul formulation here), 128 triangles at
+a time through a pure-SSA fori stream, each chunk guarded by an AABB
+slab cull under lax.cond — a flat one-level BVH traversed densely. The
+cond pays for itself even when nothing is culled: the scf.if boundary
+limits Mosaic's scheduling window, cutting register-spill traffic ~4x
+(measured 5.9 us vs 23.5 us per 1024-ray x 1152-triangle call with the
+cond removed).
+
+Unlike every other backend, the triangle tables do NOT ride in the packed
+SMEM scalar vector (9 floats x 1k+ triangles would blow the scalar
+budget): they enter through the KernelBackend.extra_of protocol as
+whole-array VMEM/SMEM refs. That also makes this backend FORWARD-ONLY on
+the Pallas path — gradients (vertex positions included) flow through the
+XLA twin (models/bigmesh.closest_hit is pure jnp of the vertex pytree).
+
+Reference anchor: the backend seam this scales is
+/root/reference/rust-pathtracer/src/scene.rs:5-27 (`closest_hit` /
+`any_hit` for arbitrary content is the trait's whole point); the
+reference itself ships only analytic spheres + a plane.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.bigmesh import CHUNK, EPS, FEAT, mt_hit_t, mt_terms
+from ..models.scene import Scene
+from ..ops.vecmath import V3, cross, mix, safe_normalize, splat3
+from .megakernel import (
+    KernelBackend,
+    _CommonScalars,
+    _pick_material,
+    pack_camera,
+    pack_lights,
+    pack_materials,
+    register_backend,
+)
+
+_DOT_PREC = jax.lax.Precision.HIGHEST  # bf16x6 ~ f32-faithful pair terms
+
+
+def pack_bigmesh_scene(scene: Scene, width: int, height: int,
+                       with_medium: bool = True) -> jnp.ndarray:
+    """Camera + sky + lights + materials only — triangle tables go through
+    extra_of, not the SMEM scalar vector."""
+    p = scene.params
+    vals: list = pack_camera(scene, width, height)
+    vals += [p.sky_horizon.x, p.sky_horizon.y, p.sky_horizon.z]
+    vals += [p.sky_zenith.x, p.sky_zenith.y, p.sky_zenith.z]
+    vals += [p.sky_scale]
+    vals += pack_lights(scene)
+    vals += pack_materials(p.materials, with_medium)
+    return jnp.stack([jnp.asarray(x, jnp.float32) for x in vals])[None, :]
+
+
+def _bigmesh_extras(scene: Scene):
+    """(coef [nchunk, CHUNK, 16] vmem — chunk-major so the kernel's fori
+    indexes the leading dim; attrT [8, Tpad] vmem; aabb [nchunk, 8] smem)."""
+    from ..models.bigmesh import coef_tables
+
+    coef, attrT, aabb = coef_tables(scene.params)
+    tpad = coef.shape[0]
+    return (coef.reshape(tpad // CHUNK, CHUNK, 16), attrT, aabb)
+
+
+class _BigMeshScalars(_CommonScalars):
+    """In-kernel view: packed scalars for camera/sky/lights/materials,
+    whole-array refs for the triangle tables."""
+
+    def __init__(self, ref, meta, extras):
+        n_lights, n_mats, num_tris, tpad, with_medium = meta
+        self._ref = ref
+        self._off = 0
+        get = self._get
+        self._read_camera()
+        self.sky_horizon = V3(get(), get(), get())
+        self.sky_zenith = V3(get(), get(), get())
+        self.sky_scale = get()
+        self._read_lights(n_lights)
+        self._read_materials(n_mats, with_medium)
+        self.b_ref, self.attr_ref, self.aabb_ref = extras
+        self.num_tris = num_tris
+        self.tpad = tpad
+        self.nchunk = tpad // CHUNK
+
+    def to_params(self):
+        raise NotImplementedError(
+            "procedural hooks are not supported by the bigmesh kernel "
+            "backend (triangle tables are whole-array refs, not packed "
+            "scalars); use the XLA path (integrator.tracer.render_frame)"
+        )
+
+
+def _bigmesh_view(ref, meta, extras):
+    return _BigMeshScalars(ref, meta, extras)
+
+
+def _ray_rows_kernel(ro: V3, rd: V3):
+    """[1, R] ray-feature rows (d, m, o) from (tile_rows, LANES) component
+    planes — the lane-collapse reshape is the only relayout the whole
+    intersection needs (Mosaic supports it natively; transposed
+    orientations and an [R, 16] feature matrix were measured and
+    rejected)."""
+    shape = jnp.shape(rd.x)
+    R = shape[0] * shape[1]
+    row = lambda a: a.reshape(1, R)
+    mv = cross(ro, rd)
+    return (
+        [row(rd.x), row(rd.y), row(rd.z)],
+        [row(mv.x), row(mv.y), row(mv.z)],
+        [row(ro.x), row(ro.y), row(ro.z)],
+    )
+
+
+def _inv_d(d):
+    """Safe per-axis reciprocal direction rows for the slab cull."""
+    return [
+        1.0 / jnp.where(jnp.abs(dk) > 1e-20, dk, jnp.float32(1e-20))
+        for dk in d
+    ]
+
+
+def _chunk_cull(sc, c, o, invd, t_far0):
+    """Scalar predicate: can chunk c produce a hit in (EPS, t_far0) for
+    ANY ray? Robust slab test against the chunk AABB in [1, R] row
+    layout; conservative because the AABB bounds the triangles exactly
+    (equal-t candidates never update the strict < fold, so strict
+    interval pruning preserves bit-exact results)."""
+    # traced zero from o (NOT t_far0: inf * 0 = NaN would veto every chunk)
+    t_near = o[0] * 0.0 + jnp.float32(EPS)
+    t_far = t_far0
+    for k in range(3):
+        lo = sc.aabb_ref[c, k]
+        hi = sc.aabb_ref[c, 3 + k]
+        t0 = (lo - o[k]) * invd[k]
+        t1 = (hi - o[k]) * invd[k]
+        t_near = jnp.maximum(t_near, jnp.minimum(t0, t1))
+        t_far = jnp.minimum(t_far, jnp.maximum(t0, t1))
+    return jnp.sum(jnp.where(
+        t_near <= t_far, jnp.float32(1.0), jnp.float32(0.0))) > 0.0
+
+
+def _chunk_cols(b_ref, c):
+    """The 16 [CHUNK, 1] coefficient columns of chunk c."""
+    Bc = b_ref[c]  # [CHUNK, 16]
+    return [Bc[:, k:k + 1] for k in range(16)]
+
+
+def _closest_hit_bigmesh(sc: _BigMeshScalars, ro: V3, rd: V3):
+    """models/bigmesh.closest_hit, streamed chunk-by-chunk: per chunk the
+    shared mt_terms/mt_hit_t math runs as [CHUNK, 1] x [1, R] broadcast
+    FMAs (triangles on sublanes, rays on lanes) and a first-win argmin
+    folds through the fori carry; then one one-hot matmul gathers the
+    winner's geometric normal and material id on the MXU.
+
+    Structure notes (all measured on a v5e at 1080p): pure SSA loop
+    carries — a VMEM-scratch-ref variant ran 4x slower (every chunk's
+    elementwise chain round-tripped through the refs). The per-chunk AABB
+    cull's lax.cond earns its keep twice over: besides skipping chunks no
+    ray can hit, the scf.if boundary LIMITS THE SCHEDULING WINDOW, which
+    cuts the register-allocator spill traffic ~4x — the same kernel with
+    the cond removed measured 23.5 us/call vs 5.9 us with it, even when
+    every chunk passes."""
+    shape = jnp.shape(rd.x)
+    R = shape[0] * shape[1]
+    d, m, o = _ray_rows_kernel(ro, rd)
+    invd = _inv_d(d)
+    inf = jnp.float32(_np.inf)
+    li = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R), 0).astype(jnp.float32)
+
+    def chunk_body(c, carry):
+        def do(carry):
+            bt, bi, attrs = carry
+            tc = mt_hit_t(*mt_terms(_chunk_cols(sc.b_ref, c), d, m, o))
+            cb = jnp.min(tc, axis=0, keepdims=True)
+            lidx = jnp.min(
+                jnp.where(tc == cb, li, jnp.float32(CHUNK)),
+                axis=0, keepdims=True,
+            )
+            upd = cb < bt
+            # winner-attribute gather folded into the chunk: a [CHUNK, R]
+            # one-hot against this chunk's attrT slice, so skipped chunks
+            # pay nothing and no [Tpad, R] global one-hot ever exists
+            onehot = jnp.where((li == lidx) & upd,
+                               jnp.float32(1.0), jnp.float32(0.0))
+            attrs_c = jax.lax.dot_general(
+                sc.attr_ref[:, pl.ds(c * CHUNK, CHUNK)], onehot,
+                (((1,), (0,)), ((), ())), precision=_DOT_PREC,
+            )  # [8, R]
+            updf = jnp.where(upd, jnp.float32(1.0), jnp.float32(0.0))
+            return (
+                jnp.where(upd, cb, bt),
+                jnp.where(upd, c.astype(jnp.float32) * CHUNK + lidx, bi),
+                attrs * (jnp.float32(1.0) - updf) + attrs_c,
+            )
+
+        return jax.lax.cond(
+            _chunk_cull(sc, c, o, invd, carry[0]), do, lambda cr: cr, carry
+        )
+
+    # d[0] * 0.0 keeps the init values traced (a literal full/zeros array
+    # would be a captured constant, which pallas kernels reject)
+    zero_row = d[0] * 0.0
+    attrs0 = jnp.concatenate([zero_row] * 8, axis=0)  # [8, R]
+    bt, bi, attrs = jax.lax.fori_loop(
+        0, sc.nchunk, chunk_body,
+        (zero_row + inf, zero_row + jnp.float32(sc.tpad), attrs0),
+    )
+
+    plane = lambda a: a.reshape(shape)
+    best_t_p = plane(bt)
+    hit_p = best_t_p < inf
+    normal = safe_normalize(V3(
+        plane(attrs[0:1, :]), plane(attrs[1:2, :]), plane(attrs[2:3, :])
+    ))
+    # Miss lanes gathered the all-zero padding row: unit up-normal keeps
+    # masked-lane shading NaN-free (matches models/bigmesh.closest_hit).
+    from ..ops.vecmath import where3 as _where3
+
+    normal = _where3(hit_p, normal, V3(
+        best_t_p * 0.0, best_t_p * 0.0 + 1.0, best_t_p * 0.0
+    ))
+    from ..ops.vecmath import dot as _vdot
+
+    normal = normal * jnp.where(_vdot(normal, rd) > 0.0, -1.0, 1.0)
+    mat_idx = plane(attrs[3:4, :]).astype(jnp.int32)
+    mat = _pick_material(sc, mat_idx, shape)
+    from ..models.material import default_material
+
+    defaults = default_material(shape, jnp.float32)
+    mat = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(hit_p, a, b), mat, defaults
+    )
+    return jnp.where(hit_p, best_t_p, inf), normal, mat
+
+
+def _any_hit_bigmesh(sc: _BigMeshScalars, ro: V3, rd: V3, max_dist):
+    """Occlusion bounded by max_dist: same chunk stream, no argmin or
+    winner gather (division-free bound test via mt_hit_t's MISS)."""
+    shape = jnp.shape(rd.x)
+    R = shape[0] * shape[1]
+    d, m, o = _ray_rows_kernel(ro, rd)
+    invd = _inv_d(d)
+    md = jnp.broadcast_to(max_dist, shape).reshape(1, R)
+
+    def chunk_body(c, occ):
+        def do(occ):
+            tc = mt_hit_t(*mt_terms(_chunk_cols(sc.b_ref, c), d, m, o))
+            any_c = jnp.max(
+                jnp.where(tc < md, jnp.float32(1.0), jnp.float32(0.0)),
+                axis=0, keepdims=True
+            )
+            return jnp.maximum(occ, any_c)
+
+        # bound by max_dist, zeroed where the lane is already occluded
+        still = jnp.where(occ > 0.0, occ * 0.0, md)
+        return jax.lax.cond(_chunk_cull(sc, c, o, invd, still), do,
+                            lambda oc: oc, occ)
+
+    occ = jax.lax.fori_loop(0, sc.nchunk, chunk_body, d[0] * 0.0)
+    return occ.reshape(shape) > 0.0
+
+
+def _background_bigmesh(sc: _BigMeshScalars, rd: V3) -> V3:
+    t = 0.5 * (rd.y + 1.0)
+    return mix(sc.sky_horizon, sc.sky_zenith, t).to_linear() * splat3(sc.sky_scale)
+
+
+def _bigmesh_meta(scene: Scene) -> tuple:
+    p = scene.params
+    return (
+        scene.lights.count,
+        int(p.materials.roughness.shape[0]),
+        p.num_tris,
+        p.tpad,
+    )
+
+
+def _bigmesh_matches(scene: Scene) -> bool:
+    from ..models import bigmesh as _bm
+
+    return scene.closest_hit_fn is _bm.closest_hit
+
+
+BIGMESH_BACKEND = KernelBackend(
+    name="bigmesh",
+    pack=pack_bigmesh_scene,
+    meta_of=_bigmesh_meta,
+    view=_bigmesh_view,
+    closest_hit=_closest_hit_bigmesh,
+    any_hit=_any_hit_bigmesh,
+    background=_background_bigmesh,
+    matches=_bigmesh_matches,
+    extra_of=_bigmesh_extras,
+    extra_spaces=("vmem", "vmem", "smem"),
+    # Dead-lane probe rays (pointing up from far above the scene) miss
+    # every chunk AABB, so the any-lane chunk cull excludes dead lanes
+    # entirely — at depth 4, 46% of lane-bounces are dead.
+    march_based=True,
+    # The one-hot gather + chunk streams exceed the 16 MiB default
+    # scoped-VMEM budget at production tile sizes.
+    fwd_vmem_limit_mb=64,
+)
+
+register_backend(BIGMESH_BACKEND)
