@@ -44,6 +44,18 @@ from pathtracer_tpu.utils.metrics import FrameMetrics, MetricsLog, Timer, trace_
 
 
 def build_scene(cfg: RenderConfig) -> pt.Scene:
+    if cfg.scene.startswith("file:"):
+        # JSON scene description (utils/sceneio): family defaults with the
+        # file's parameter leaves written over them — the reference's
+        # dormant "scene as script" intent (fx.rs:124-166) as data.
+        from pathtracer_tpu.utils.sceneio import load_scene
+
+        return load_scene(cfg.scene[5:], dtype=cfg.dtype,
+                          recursion_depth=cfg.depth)
+    if cfg.scene == "bigmesh":
+        from pathtracer_tpu.models.bigmesh import make_scene as make_big
+
+        return make_big(dtype=cfg.dtype, recursion_depth=cfg.depth)
     if cfg.scene == "analytical":
         return pt.make_analytical_scene(dtype=cfg.dtype, recursion_depth=cfg.depth)
     if cfg.scene == "sdf":
@@ -55,7 +67,7 @@ def build_scene(cfg: RenderConfig) -> pt.Scene:
 
         return make_mesh_scene(dtype=cfg.dtype, recursion_depth=cfg.depth)
     raise SystemExit(
-        f"unknown scene {cfg.scene!r} (choose analytical|sdf|mesh)"
+        f"unknown scene {cfg.scene!r} (choose analytical|sdf|mesh|bigmesh|file:PATH)"
     )
 
 
@@ -261,6 +273,33 @@ def main(argv=None) -> int:
             log.record(FrameMetrics(cfg.width, cfg.height, cfg.spp, cfg.depth, ms))
             if viewer is not None:
                 viewer.update(buf.pixels)
+                ctrls = viewer.pop_controls()
+                if ctrls:
+                    # Interactive camera: apply the browser's drag/wheel
+                    # events (models.camera.orbit/zoom — the realized
+                    # Camera3D::set loop, pinhole.rs:27-30) and restart
+                    # accumulation under the new view.
+                    from pathtracer_tpu.models.camera import orbit, zoom
+
+                    cam = scene.camera
+                    for c in ctrls:
+                        if "orbit" in c:
+                            dx, dy = c["orbit"]
+                            cam = orbit(cam, -0.005 * float(dx),
+                                        0.005 * float(dy))
+                        if "zoom" in c:
+                            cam = zoom(cam, float(c["zoom"]))
+                        if "fov" in c:
+                            cam = cam.set_fov(
+                                float(cam.fov) + float(c["fov"])
+                            )
+                        if c.get("reset"):
+                            cam = build_scene(cfg).camera
+                    scene = scene.replace(camera=cam)
+                    buf = ColorBuffer(
+                        pixels=jnp.zeros_like(buf.pixels),
+                        frames=jnp.zeros_like(buf.frames),
+                    )
             if args.preview:
                 # Home the cursor and repaint in place: progressive
                 # refinement on a terminal instead of a window.

@@ -31,6 +31,37 @@ class Pinhole(NamedTuple):
         return self._replace(fov=jnp.asarray(fov, self.fov.dtype))
 
 
+def orbit(cam: Pinhole, dyaw: float, dpitch: float) -> Pinhole:
+    """Rotate the eye around the look-at center (the interactive-viewer
+    analog of the reference's stubbed mouse plumbing,
+    renderer/src/main.rs:133-190, driving Camera3D::set,
+    pinhole.rs:27-30). Angles in radians; pitch clamped off the poles;
+    distance to center preserved exactly."""
+    import numpy as _np
+
+    v = cam.origin - cam.center
+    r = jnp.sqrt(v.dot(v))
+    yaw = jnp.arctan2(v.x, v.z) + dyaw
+    pitch = jnp.arcsin(jnp.clip(v.y / jnp.maximum(r, 1e-8), -1.0, 1.0))
+    pitch = jnp.clip(pitch + dpitch, -1.45, 1.45)  # ~83 deg off-pole
+    cp = jnp.cos(pitch)
+    origin = V3(
+        cam.center.x + r * cp * jnp.sin(yaw),
+        cam.center.y + r * jnp.sin(pitch),
+        cam.center.z + r * cp * jnp.cos(yaw),
+    )
+    return cam.set(origin, cam.center)
+
+
+def zoom(cam: Pinhole, factor) -> Pinhole:
+    """Scale the eye's distance to the center (dolly); factor > 1 moves
+    away, < 1 moves in, floor keeps the eye off the center."""
+    v = cam.origin - cam.center
+    r = jnp.sqrt(v.dot(v))
+    s = jnp.maximum(r * factor, 1e-3) / jnp.maximum(r, 1e-8)
+    return cam.set(cam.center + v * s, cam.center)
+
+
 def default_pinhole(dtype=jnp.float32) -> Pinhole:
     """Pinhole::new defaults: origin (0,0,3), center (0,0,0), fov 80
     (pinhole.rs:14-25)."""

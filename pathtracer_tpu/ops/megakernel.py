@@ -1802,23 +1802,40 @@ def _pallas_backward(cfg: _KernelConfig, num_tiles: int, sv, seed, base, u_all, 
         out_shape=jax.ShapeDtypeStruct((1, n_params), jnp.float32),
         interpret=cfg.interpret,
         # The reverse sweep's per-bounce relinearization residuals + carry
-        # stack exceed the 16 MiB default scoped-VMEM budget at depth >= 7
-        # or tile_rows >= 16 (measured: 18.09 MiB at depth 8, tile_rows 8 —
-        # "Ran out of memory in memory space vmem ... on stack"). The v5e
-        # has 128 MiB of VMEM; raise the per-kernel cap there so deep-path
-        # and wide-tile gradients compile instead of falling back to the
-        # 115x-slower XLA path — the unlocked tile_rows=16 backward kernel
-        # measures 3.5e8 rays/s fwd+bwd at 1080p depth 4, 2.8x the best
-        # tile_rows=8 number. Configs that fit the default budget keep it:
-        # the raised cap changes the compiler's buffer placement and was
-        # measured to cost tile_rows=8/depth<=6 ~4x.
+        # stack exceed the 16 MiB default scoped-VMEM budget for deep or
+        # wide configs (measured anchor: 18.09 MiB at depth 8, tile_rows 8
+        # — "Ran out of memory in memory space vmem ... on stack"; the
+        # stack scales linearly in depth x tile_rows, with media adding
+        # ~8 more carries to the ~17-array bounce record). The v5e has
+        # 128 MiB of VMEM; raise the per-kernel cap exactly where the
+        # estimate says the default budget would OOM — the unlocked
+        # tile_rows=16 backward kernel measures 3.9e8 rays/s fwd+bwd at
+        # 1080p depth 4, 2.8x the best tile_rows=8 number. Configs that
+        # fit the default budget keep it: the raised cap changes the
+        # compiler's buffer placement and was measured to cost
+        # tile_rows=8/depth<=6 ~4x.
         compiler_params=None if (
-            cfg.interpret or (cfg.depth <= 6 and cfg.tile_rows < 16)
+            cfg.interpret or _bwd_vmem_est_mb(cfg) <= 15.0
         ) else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(sv, seed, base, u_all, *ct)
     return gsv
+
+
+def _bwd_vmem_est_mb(cfg: _KernelConfig) -> float:
+    """Estimated scoped-VMEM high-water mark of the backward kernel, MiB.
+
+    Calibrated on the measured 18.09 MiB at (depth 8, tile_rows 8,
+    no media): 0.283 MiB per (bounce x tile_row), +50% with the media
+    path's extra carries (free-flight state, HG throughput). Only the
+    16 MiB-budget DECISION consumes this — it reproduces the round-4
+    two-regime rule at its measured points (depth<=6, tile_rows 8 stays
+    under; depth>=7 or tile_rows>=16 goes over) and extends it smoothly
+    to any (depth, tile_rows, media) combination."""
+    per = 18.09 / (8 * 8)
+    media_factor = 1.5 if cfg.has_media else 1.0
+    return per * cfg.depth * cfg.tile_rows * media_factor
 
 
 def _cfg_backend(cfg: _KernelConfig) -> KernelBackend:

