@@ -31,9 +31,8 @@ import jax.numpy as jnp
 import numpy as _np
 
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from ..models.bigmesh import CHUNK, EPS, FEAT, mt_hit_t, mt_terms
+from ..models.bigmesh import CHUNK, EPS, mt_hit_t, mt_terms
 from ..models.scene import Scene
 from ..ops.vecmath import V3, cross, mix, safe_normalize, splat3
 from .megakernel import (

@@ -172,7 +172,10 @@ def run_demo_ckpt(
             train, opt_state, s = load_checkpoint(
                 path, (train, opt_state, jnp.zeros((), jnp.int32))
             )
-            s0 = int(s)
+            # Clamp so a restart AFTER completion recomputes the final
+            # step (per-step keys make it bit-identical) instead of
+            # returning no loss at all.
+            s0 = min(int(s), steps - 1)
             if jax.process_index() == 0:
                 print(f"[proc 0] resumed from {path} at step {s0}", flush=True)
 
